@@ -1,0 +1,316 @@
+"""Convolution primitives with torch-matching numerics on channel-first data.
+
+All modules operate on (B, C, *spatial) tensors and keep torch's weight
+layouts — Conv: (O, I/g, *k); ConvTranspose: (I, O/g, *k); Linear: (O, I) —
+so reference checkpoints map 1:1 onto the param pytree. Convs lower to
+``lax.conv_general_dilated`` with NC* dimension numbers; XLA assigns TPU
+layouts and tiles the contractions onto the MXU.
+
+Padding semantics replicated exactly from torch (the reference relies on
+them — ``src/models/layers/conv_layers.py:100-101`` uses ``"same"`` with
+even kernels, which pads asymmetrically: left = total//2, right = rest):
+
+  * ``"same"`` (stride 1 only): total = dilation*(k-1), lo = total//2,
+    hi = total - lo.
+  * int / per-dim ints: symmetric.
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+from jax import lax
+
+IntOrTuple = Union[int, Sequence[int]]
+
+
+def _to_tuple(v: IntOrTuple, ndim: int) -> Tuple[int, ...]:
+    if isinstance(v, (list, tuple)):
+        assert len(v) == ndim, (v, ndim)
+        return tuple(int(x) for x in v)
+    return (int(v),) * ndim
+
+
+def _resolve_padding(padding, kernel, dilation, ndim):
+    """Resolve a torch-style padding spec into lax ((lo, hi), ...) pairs."""
+    if padding == "same":
+        out = []
+        for k, d in zip(kernel, dilation):
+            total = d * (k - 1)
+            lo = total // 2
+            out.append((lo, total - lo))
+        return tuple(out)
+    if padding == "valid":
+        return tuple((0, 0) for _ in range(ndim))
+    pad = _to_tuple(padding, ndim)
+    return tuple((p, p) for p in pad)
+
+
+def torch_conv_init(fan_in: int):
+    """torch's default Conv/Linear init: kaiming_uniform(a=sqrt(5)) on the
+    weight == U(-1/sqrt(fan_in), 1/sqrt(fan_in)); same bound for bias."""
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def xavier_uniform_init():
+    def init(key, shape, dtype=jnp.float32):
+        # torch xavier_uniform over (O, I, *k): fans = (I*prod(k), O*prod(k))
+        receptive = int(np.prod(shape[2:])) if len(shape) > 2 else 1
+        fan_out = shape[0] * receptive
+        fan_in = shape[1] * receptive
+        bound = math.sqrt(6.0 / (fan_in + fan_out))
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+class Conv(nn.Module):
+    """torch ``nn.Conv{1,2,3}d`` equivalent on (B, C, *spatial)."""
+
+    in_chan: int
+    out_chan: int
+    kernel_size: IntOrTuple
+    ndim: int = 1
+    stride: IntOrTuple = 1
+    padding: Union[str, IntOrTuple] = 0
+    dilation: IntOrTuple = 1
+    groups: int = 1
+    use_bias: bool = True
+    xavier_init: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        nd = self.ndim
+        kernel = _to_tuple(self.kernel_size, nd)
+        stride = _to_tuple(self.stride, nd)
+        dilation = _to_tuple(self.dilation, nd)
+        pads = _resolve_padding(self.padding, kernel, dilation, nd)
+
+        wshape = (self.out_chan, self.in_chan // self.groups, *kernel)
+        fan_in = (self.in_chan // self.groups) * int(np.prod(kernel))
+        w_init = xavier_uniform_init() if self.xavier_init else torch_conv_init(fan_in)
+        w = self.param("weight", w_init, wshape)
+
+        dn = lax.conv_dimension_numbers(
+            x.shape, wshape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))
+        )
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            w.astype(dtype),
+            window_strides=stride,
+            padding=pads,
+            rhs_dilation=dilation,
+            dimension_numbers=dn,
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
+            y = y + b.reshape((1, -1) + (1,) * nd)
+        return y.astype(x.dtype)
+
+
+class ConvTranspose(nn.Module):
+    """torch ``nn.ConvTranspose{1,2}d`` equivalent on (B, C, *spatial).
+
+    Implemented as an input-dilated correlation with the spatially-flipped,
+    IO-swapped kernel: out = (in-1)*stride - 2*pad + dilation*(k-1)
+    + output_padding + 1.
+    """
+
+    in_chan: int
+    out_chan: int
+    kernel_size: IntOrTuple
+    ndim: int = 1
+    stride: IntOrTuple = 1
+    padding: IntOrTuple = 0
+    output_padding: IntOrTuple = 0
+    dilation: IntOrTuple = 1
+    groups: int = 1
+    use_bias: bool = True
+    xavier_init: bool = False
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        nd = self.ndim
+        kernel = _to_tuple(self.kernel_size, nd)
+        stride = _to_tuple(self.stride, nd)
+        dilation = _to_tuple(self.dilation, nd)
+        pad = _to_tuple(self.padding, nd)
+        opad = _to_tuple(self.output_padding, nd)
+
+        # torch layout: (I, O/g, *k); fan_in for default init = (O/g) * prod(k)
+        wshape = (self.in_chan, self.out_chan // self.groups, *kernel)
+        fan_in = (self.out_chan // self.groups) * int(np.prod(kernel))
+        if self.xavier_init:
+            # torch xavier on (I, O/g, *k): fan_in = (O/g)*rec, fan_out = I*rec
+            def w_init(key, shape, dtype=jnp.float32):
+                receptive = int(np.prod(shape[2:]))
+                bound = math.sqrt(6.0 / (shape[1] * receptive + shape[0] * receptive))
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+        else:
+            w_init = torch_conv_init(fan_in)
+        w = self.param("weight", w_init, wshape)
+
+        # (I, O/g, *k) -> (g, I/g, O/g, *k) -> (g, O/g, I/g, *k) -> (O, I/g, *k)
+        g = self.groups
+        wt = w.reshape((g, self.in_chan // g, self.out_chan // g) + kernel)
+        wt = jnp.swapaxes(wt, 1, 2)
+        wt = wt.reshape((self.out_chan, self.in_chan // g) + kernel)
+        wt = jnp.flip(wt, axis=tuple(range(2, 2 + nd)))
+
+        pads = tuple(
+            (d * (k - 1) - p, d * (k - 1) - p + op)
+            for k, d, p, op in zip(kernel, dilation, pad, opad)
+        )
+        dn = lax.conv_dimension_numbers(
+            x.shape, wt.shape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))
+        )
+        dtype = self.dtype or x.dtype
+        y = lax.conv_general_dilated(
+            x.astype(dtype),
+            wt.astype(dtype),
+            window_strides=(1,) * nd,
+            padding=pads,
+            lhs_dilation=stride,
+            rhs_dilation=dilation,
+            dimension_numbers=dn,
+            feature_group_count=g,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
+            y = y + b.reshape((1, -1) + (1,) * nd)
+        return y.astype(x.dtype)
+
+
+class Linear(nn.Module):
+    """torch ``nn.Linear`` equivalent; weight (O, I)."""
+
+    in_features: int
+    out_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", torch_conv_init(self.in_features), (self.out_features, self.in_features))
+        y = x @ w.T.astype(x.dtype)
+        if self.use_bias:
+            b = self.param("bias", torch_conv_init(self.in_features), (self.out_features,))
+            y = y + b.astype(x.dtype)
+        return y
+
+
+def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
+    """torch ``F.interpolate(mode="nearest")`` on (B, C, *spatial):
+    src_idx = floor(dst_idx * in/out) per dim."""
+    spatial = x.shape[2:]
+    size = tuple(int(s) for s in size)
+    assert len(size) == len(spatial)
+    for d, (ins, outs) in enumerate(zip(spatial, size)):
+        if ins == outs:
+            continue
+        idx = np.floor(np.arange(outs) * (ins / outs)).astype(np.int32)
+        x = jnp.take(x, jnp.asarray(idx), axis=2 + d)
+    return x
+
+
+def _pool_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Averaging matrix (in, out) implementing torch adaptive_avg_pool bins:
+    bin i covers [floor(i*in/out), ceil((i+1)*in/out))."""
+    m = np.zeros((in_size, out_size), np.float32)
+    for i in range(out_size):
+        lo = (i * in_size) // out_size
+        hi = -(-((i + 1) * in_size) // out_size)
+        m[lo:hi, i] = 1.0 / (hi - lo)
+    return m
+
+
+def adaptive_avg_pool(x: jnp.ndarray, output_size: Sequence[int]) -> jnp.ndarray:
+    """torch ``F.adaptive_avg_pool{1,2}d`` on (B, C, *spatial), lowered to
+    dense matmuls against precomputed bin-averaging matrices (MXU-friendly,
+    exact for any size pair)."""
+    spatial = x.shape[2:]
+    output_size = tuple(int(s) for s in output_size)
+    for d, (ins, outs) in enumerate(zip(spatial, output_size)):
+        if ins == outs:
+            continue
+        m = jnp.asarray(_pool_matrix(ins, outs), x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0])), -1, 2 + d)
+    return x
+
+
+def avg_pool(x: jnp.ndarray, kernel: Sequence[int], stride: Sequence[int] | None = None,
+             ceil_mode: bool = False, count_include_pad: bool = True) -> jnp.ndarray:
+    """torch ``F.avg_pool2d`` on (B, C, H, W)."""
+    kernel = tuple(kernel)
+    stride = tuple(stride) if stride is not None else kernel
+    nd = len(kernel)
+    spatial = x.shape[2:]
+    pads = []
+    for i, (s, k, st) in enumerate(zip(spatial, kernel, stride)):
+        if ceil_mode:
+            out = -(-(s - k) // st) + 1
+            need = (out - 1) * st + k - s
+            pads.append((0, max(0, need)))
+        else:
+            pads.append((0, 0))
+    window = (1, 1) + kernel
+    strides = (1, 1) + stride
+    padding = ((0, 0), (0, 0)) + tuple(pads)
+    summed = lax.reduce_window(x, 0.0, lax.add, window, strides, padding)
+    if count_include_pad or not any(p[1] for p in pads):
+        return summed / float(np.prod(kernel))
+    ones = jnp.ones(x.shape[:1] + (1,) + x.shape[2:], x.dtype)
+    counts = lax.reduce_window(ones, 0.0, lax.add, window, strides, padding)
+    return summed / counts
+
+
+def max_pool(x: jnp.ndarray, kernel: Sequence[int], stride: Sequence[int],
+             padding: Sequence[int]) -> jnp.ndarray:
+    """torch ``F.max_pool`` (symmetric padding with -inf) on (B, C, *s)."""
+    nd = len(kernel)
+    window = (1, 1) + tuple(kernel)
+    strides = (1, 1) + tuple(stride)
+    pads = ((0, 0), (0, 0)) + tuple((p, p) for p in padding)
+    return lax.reduce_window(x, -jnp.inf, lax.max, window, strides, pads)
+
+
+def unfold_1d(x: jnp.ndarray, kernel_size: int, stride: int = 1) -> jnp.ndarray:
+    """torch ``nn.Unfold((k,1),stride=(s,1))`` on (B, C, T, 1) collapsed to
+    (B, C, T): returns (B, C*k, L), C-major then kernel-position ordering
+    (the DualPathRNN windowing, ``rnn_layers.py:97,141-148``)."""
+    B, C, T = x.shape
+    L = (T - kernel_size) // stride + 1
+    taps = [x[:, :, j : j + (L - 1) * stride + 1 : stride] for j in range(kernel_size)]
+    y = jnp.stack(taps, axis=2)  # (B, C, k, L)
+    return y.reshape(B, C * kernel_size, L)
+
+
+class DropPath(nn.Module):
+    """Per-sample stochastic depth (timm DropPath): zero the whole sample's
+    residual branch with prob p and scale survivors by 1/(1-p)."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic or self.rate == 0.0:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, jnp.zeros_like(x))
