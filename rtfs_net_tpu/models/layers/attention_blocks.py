@@ -1,0 +1,337 @@
+"""Attention blocks (reference: ``src/models/layers/attention.py``).
+
+Sequence lengths here are short (T<=251 after the STFT hop), so attention
+is plain einsum softmax — XLA fuses QK^T/softmax/AV efficiently at these
+sizes and a flash kernel would only add overhead (SURVEY.md §2.9).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import flax.linen as nn
+
+from ...ops import activations
+from ...ops.conv import Conv, DropPath, Linear, avg_pool, max_pool
+from ...ops.normalizations import LayerNorm
+from .conv_blocks import ConvActNorm, make_norm, apply_norm
+
+
+def positional_encoding(length: int, channels: int, max_len: int = 10000) -> np.ndarray:
+    """Sinusoidal PE (reference ``attention.py:9-25``; note its div_term uses
+    log(max_len) — replicated)."""
+    position = np.arange(max_len)[:, None].astype(np.float32)
+    div_term = np.exp(
+        np.arange(0, channels, 2).astype(np.float32) * -(math.log(float(max_len)) / channels)
+    )
+    pe = np.zeros((max_len, channels), np.float32)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term)
+    return pe[:length]
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch ``nn.MultiheadAttention`` equivalent (packed qkv in_proj,
+    out_proj, dropout on attention weights). Input (B, L, E) if
+    batch_first else (L, B, E)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    batch_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        E, H = self.embed_dim, self.num_heads
+        hd = E // H
+        # torch inits: in_proj xavier_uniform, biases zero, out_proj default
+        def in_proj_init(key, shape, dtype=jnp.float32):
+            bound = math.sqrt(6.0 / (shape[0] / 3 + shape[1]))
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w_in = self.param("in_proj_weight", in_proj_init, (3 * E, E))
+        b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * E,))
+
+        seq = x if self.batch_first else jnp.swapaxes(x, 0, 1)  # (B, L, E)
+        B, L, _ = seq.shape
+        qkv = seq @ w_in.T.astype(seq.dtype) + b_in.astype(seq.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, L, H, hd).transpose(0, 2, 1, 3)  # (B, H, L, hd)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(hd)
+        attn = jax.nn.softmax(logits, axis=-1)
+        if train and self.dropout > 0:
+            attn = nn.Dropout(self.dropout, deterministic=False)(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, L, E)
+        out = Linear(E, E, name="out_proj")(out)
+        if not self.batch_first:
+            out = jnp.swapaxes(out, 0, 1)
+        return out
+
+
+class MultiHeadSelfAttention(nn.Module):
+    """LN -> PE -> MHA -> dropout+res -> LN -> DropPath+res on (B, C, T)
+    (or (L, B, C) when not batch_first) — reference ``attention.py:28-73``."""
+
+    in_chan: int
+    n_head: int = 8
+    dropout: float = 0.1
+    positional_encoding: bool = True
+    batch_first: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        y = jnp.swapaxes(x, 1, 2) if self.batch_first else x  # (B,T,C) / (L,B,C)
+        y = LayerNorm(self.in_chan, name="norm1")(y)
+        if self.positional_encoding:
+            L = y.shape[1] if self.batch_first else y.shape[0]
+            pe = jnp.asarray(positional_encoding(L, self.in_chan), y.dtype)
+            y = y + (pe[None] if self.batch_first else pe[:, None])
+        residual = y
+        y = TorchMultiheadAttention(
+            self.in_chan, self.n_head, self.dropout, batch_first=self.batch_first,
+            name="attention",
+        )(y, train)
+        if train and self.dropout > 0:
+            y = nn.Dropout(self.dropout, deterministic=False)(y)
+        y = LayerNorm(self.in_chan, name="norm2")(y + residual)
+        if self.batch_first:
+            y = jnp.swapaxes(y, 2, 1)
+        y = DropPath(self.dropout)(y, deterministic=not train) + res
+        return y
+
+
+class MultiHeadSelfAttention2D(nn.Module):
+    """RTFS TF-attention over (B, C, T, F): per-head 1x1 ConvActNorm Q/K/V,
+    heads folded into batch, attention over T with E·F-dim keys
+    (reference ``attention.py:76-189``). ``dim=4`` transposes T<->F so the
+    same block attends over frequency."""
+
+    in_chan: int
+    n_freqs: int
+    n_head: int = 4
+    hid_chan: int = 4
+    act_type: Any = "PReLU"
+    norm_type: Any = "LayerNormalization4D"
+    dim: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.dim == 4:
+            x = jnp.swapaxes(x, -2, -1)
+        B, C, T, F = x.shape
+        residual = x
+
+        def head_proj(out_chan, name, i):
+            return ConvActNorm(
+                in_chan=self.in_chan, out_chan=out_chan, kernel_size=1,
+                act_type=self.act_type, norm_type=self.norm_type,
+                n_freqs=self.n_freqs, is2d=True, name=f"{name}{i}",
+            )
+
+        Q = jnp.concatenate(
+            [head_proj(self.hid_chan, "q", i)(x, train) for i in range(self.n_head)], axis=0
+        )  # (B*n_head, E, T, F)
+        K = jnp.concatenate(
+            [head_proj(self.hid_chan, "k", i)(x, train) for i in range(self.n_head)], axis=0
+        )
+        V = jnp.concatenate(
+            [head_proj(C // self.n_head, "v", i)(x, train) for i in range(self.n_head)], axis=0
+        )  # (B*n_head, C/n_head, T, F)
+
+        Qf = Q.transpose(0, 2, 1, 3).reshape(B * self.n_head, T, -1)  # (B', T, E*F)
+        Kf = K.transpose(0, 2, 1, 3).reshape(B * self.n_head, T, -1)
+        Vt = V.transpose(0, 2, 1, 3)  # (B', T, C/nh, F)
+        old_shape = Vt.shape
+        Vf = Vt.reshape(B * self.n_head, T, -1)
+        emb_dim = Qf.shape[-1]
+
+        logits = jnp.einsum("btd,bsd->bts", Qf, Kf) / math.sqrt(emb_dim)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bts,bsd->btd", attn, Vf).reshape(old_shape)
+        out = out.transpose(0, 2, 1, 3)  # (B', C/nh, T, F)
+        out = out.reshape(self.n_head, B, C // self.n_head, T, F)
+        out = out.transpose(1, 0, 2, 3, 4).reshape(B, C, T, F)
+
+        out = ConvActNorm(
+            in_chan=self.in_chan, out_chan=self.in_chan, kernel_size=1,
+            act_type=self.act_type, norm_type=self.norm_type,
+            n_freqs=self.n_freqs, is2d=True, name="attn_concat_proj",
+        )(out, train)
+
+        out = out + residual
+        if self.dim == 4:
+            out = jnp.swapaxes(out, -2, -1)
+        return out
+
+
+class GlobalAttention(nn.Module):
+    """MHSA + conv-FFN on (B, C, T) — the video-branch layer
+    (reference ``attention.py:192-220``)."""
+
+    in_chan: int
+    hid_chan: Optional[int] = None
+    ffn_name: str = "FeedForwardNetwork"
+    kernel_size: int = 5
+    n_head: int = 8
+    dropout: float = 0.1
+    pos_enc: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from . import get_ffn
+
+        hid = self.hid_chan if self.hid_chan is not None else 2 * self.in_chan
+        y = MultiHeadSelfAttention(
+            self.in_chan, self.n_head, self.dropout, self.pos_enc, name="MHSA"
+        )(x, train)
+        y = get_ffn(self.ffn_name)(
+            self.in_chan, hid, self.kernel_size, dropout=self.dropout, name="FFN"
+        )(y, train)
+        return y
+
+
+class GlobalAttention2D(nn.Module):
+    """time-axis MHSA+FFN then freq-axis MHSA+FFN via reshape-to-batch
+    (reference ``attention.py:223-280``)."""
+
+    in_chan: int
+    hid_chan: Optional[int] = None
+    ffn_name: str = "FeedForwardNetwork"
+    kernel_size: int = 5
+    n_head: int = 8
+    dropout: float = 0.1
+    single_ffn: bool = True
+    group_ffn: bool = False
+    pos_enc: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from . import get_ffn
+
+        hid = self.hid_chan if self.hid_chan is not None else 2 * self.in_chan
+        B, C, H, W = x.shape
+
+        y = x.transpose(0, 3, 1, 2).reshape(B * W, C, H)
+        y = MultiHeadSelfAttention(self.in_chan, self.n_head, self.dropout, self.pos_enc, name="time_MHSA")(y, train)
+        if self.single_ffn:
+            y = get_ffn(self.ffn_name)(self.in_chan, hid, self.kernel_size, dropout=self.dropout, name="time_FFN")(y, train)
+        y = y.reshape(B, W, C, H).transpose(0, 2, 3, 1)
+
+        if self.group_ffn:
+            y = get_ffn("FeedForwardNetwork")(self.in_chan, hid, self.kernel_size, dropout=self.dropout, is2d=True, name="group_FFN")(y, train)
+
+        z = y.transpose(0, 2, 1, 3).reshape(B * H, C, W)
+        z = MultiHeadSelfAttention(self.in_chan, self.n_head, self.dropout, self.pos_enc, name="freq_MHSA")(z, train)
+        if self.single_ffn:
+            z = get_ffn(self.ffn_name)(self.in_chan, hid, self.kernel_size, dropout=self.dropout, name="freq_FFN")(z, train)
+        z = z.reshape(B, H, C, W).transpose(0, 2, 1, 3)
+
+        if self.group_ffn:
+            z = get_ffn("FeedForwardNetwork")(self.in_chan, hid, self.kernel_size, dropout=self.dropout, is2d=True, name="group_FFN2")(z, train)
+        return z
+
+
+class CBAMBlock(nn.Module):
+    """channel+spatial squeeze attention (legacy configs,
+    reference ``attention.py:283-343``)."""
+
+    in_chan: int = 512
+    reduction: int = 16
+    kernel_size: int = 49
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = x
+        B, C, H, W = x.shape
+        # channel attention: shared MLP over max- and avg-pooled descriptors
+        maxd = jnp.max(x, axis=(2, 3), keepdims=True)
+        avgd = jnp.mean(x, axis=(2, 3), keepdims=True)
+        se1 = Conv(C, C // self.reduction, 1, ndim=2, use_bias=False, name="se1")
+        se2 = Conv(C // self.reduction, C, 1, ndim=2, use_bias=False, name="se2")
+        ca = jax.nn.sigmoid(se2(jax.nn.relu(se1(maxd))) + se2(jax.nn.relu(se1(avgd))))
+        y = x * ca
+        # spatial attention
+        mx = jnp.max(y, axis=1, keepdims=True)
+        av = jnp.mean(y, axis=1, keepdims=True)
+        sa = Conv(2, 1, self.kernel_size, ndim=2,
+                  padding=self.kernel_size // 2, name="sa")(jnp.concatenate([mx, av], 1))
+        y = y * jax.nn.sigmoid(sa)
+        return y + residual
+
+
+class ShuffleAttention(nn.Module):
+    """grouped channel/spatial attention with channel shuffle (legacy,
+    reference ``attention.py:346-408``)."""
+
+    in_chan: int = 512
+    G: int = 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        B, C, H, W = x.shape
+        G = self.G
+        cpg = C // (2 * G)
+        cweight = self.param("cweight", nn.initializers.zeros, (1, cpg, 1, 1))
+        cbias = self.param("cbias", nn.initializers.ones, (1, cpg, 1, 1))
+        sweight = self.param("sweight", nn.initializers.zeros, (1, cpg, 1, 1))
+        sbias = self.param("sbias", nn.initializers.ones, (1, cpg, 1, 1))
+
+        y = x.reshape(B * G, -1, H, W)
+        x0, x1 = jnp.split(y, 2, axis=1)
+        # channel branch
+        xc = jnp.mean(x0, axis=(2, 3), keepdims=True)
+        xc = cweight * xc + cbias
+        xc = x0 * jax.nn.sigmoid(xc)
+        # spatial branch: GroupNorm(cpg, cpg) == per-channel instance norm
+        mean = jnp.mean(x1, axis=(2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x1 - mean), axis=(2, 3), keepdims=True)
+        gn_scale = self.param("gn_scale", nn.initializers.ones, (cpg,))
+        gn_bias = self.param("gn_bias", nn.initializers.zeros, (cpg,))
+        xs = (x1 - mean) / jnp.sqrt(var + 1e-5)
+        xs = xs * gn_scale.reshape(1, -1, 1, 1) + gn_bias.reshape(1, -1, 1, 1)
+        xs = sweight * xs + sbias
+        xs = x1 * jax.nn.sigmoid(xs)
+
+        out = jnp.concatenate([xc, xs], axis=1).reshape(B, -1, H, W)
+        # channel shuffle groups=2
+        out = out.reshape(B, 2, -1, H, W).transpose(0, 2, 1, 3, 4).reshape(B, -1, H, W)
+        return out
+
+
+class CoTAttention(nn.Module):
+    """contextual transformer attention (legacy, reference
+    ``attention.py:411-446``)."""
+
+    in_chan: int = 512
+    kernel_size: int = 3
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from ...ops.normalizations import BatchNorm2d
+
+        B, C, H, W = x.shape
+        k1 = Conv(C, C, self.kernel_size, ndim=2, padding=self.kernel_size // 2,
+                  groups=4, use_bias=False, name="key_conv")(x)
+        k1 = apply_norm(BatchNorm2d(C, name="key_bn"), k1, train)
+        k1 = jax.nn.relu(k1)
+        v = Conv(C, C, 1, ndim=2, use_bias=False, name="value_conv")(x)
+        v = apply_norm(BatchNorm2d(C, name="value_bn"), v, train).reshape(B, C, -1)
+
+        y = jnp.concatenate([k1, x], axis=1)
+        factor = 4
+        att = Conv(2 * C, 2 * C // factor, 1, ndim=2, use_bias=False, name="att1")(y)
+        att = apply_norm(BatchNorm2d(2 * C // factor, name="att_bn"), att, train)
+        att = jax.nn.relu(att)
+        att = Conv(2 * C // factor, self.kernel_size ** 2 * C, 1, ndim=2, name="att2")(att)
+        att = att.reshape(B, C, self.kernel_size ** 2, H, W).mean(axis=2).reshape(B, C, -1)
+        k2 = jax.nn.softmax(att, axis=-1) * v
+        return k1 + k2.reshape(B, C, H, W)

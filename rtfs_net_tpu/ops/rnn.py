@@ -1,0 +1,235 @@
+"""Recurrent cells as TPU-friendly scans.
+
+The reference rides native CUDA recurrences (`sru` CUDA kernels, cuDNN
+LSTM/GRU — SURVEY.md §2.9). Here each cell splits into:
+
+  * a time-parallel input projection — one large matmul over (L·B, D) that
+    XLA tiles onto the MXU, and
+  * a `lax.scan` carrying only the elementwise recurrence (SRU: (B, H) of
+    elementwise ops per step — the sequential part is tiny by design; this
+    is exactly why SRU was built, and it maps perfectly to scan).
+
+SRU semantics follow sru==2.6.0 defaults as pinned by the reference
+(`setup/requirements.yaml:33`): v2 cell with weight_c gate terms
+(``f_t = σ(U¹_t + v_f⊙c_{t−1} + b_f)``), 4-chunk projection when
+input_size != output_size (the 4th chunk is the transformed highway input),
+``use_tanh=False``, ``rescale=False``, ``highway_bias=0``.
+
+An associative-scan variant (``sru_v1``) drops the ``v⊙c`` gate terms,
+making ``c_t = f_t⊙c_{t−1} + (1−f_t)⊙U⁰_t`` a linear recurrence solvable
+by ``lax.associative_scan`` in O(log L) depth — exposed for speed
+experiments; not used by default configs.
+
+Sequence layout everywhere: (L, B, D) — matching the reference's
+DualPathRNN which feeds ``(unfolded_T, B·F, C·k)`` (rnn_layers.py:147).
+"""
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+from jax import lax
+
+from .conv import torch_conv_init
+
+
+def _sigmoid(x):
+    return jax.nn.sigmoid(x)
+
+
+def _sru_direction(u, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
+    """Scan one SRU direction.
+
+    u: (L, B, k, H) projected inputs (k=3 or 4); x_skip: (L, B, H) highway
+    input (raw x when k==3, u[...,3,:] when k==4). Returns h: (L, B, H).
+    """
+    u0, u1, u2 = u[:, :, 0], u[:, :, 1], u[:, :, 2]
+
+    def step(c_prev, inputs):
+        u0_t, u1_t, u2_t, xs_t = inputs
+        f_t = _sigmoid(u1_t + v_f * c_prev + b_f)
+        c_t = f_t * c_prev + (1.0 - f_t) * u0_t
+        r_t = _sigmoid(u2_t + v_r * c_prev + b_r)
+        h_t = r_t * c_t + (1.0 - r_t) * xs_t
+        return c_t, h_t
+
+    L, B, H = u0.shape
+    c0 = jnp.zeros((B, H), u0.dtype)
+    _, h = lax.scan(step, c0, (u0, u1, u2, x_skip), reverse=reverse)
+    return h
+
+
+class SRU(nn.Module):
+    """Multi-layer (bi)directional SRU, sru==2.6.0 v2 cell semantics."""
+
+    input_size: int
+    hidden_size: int
+    num_layers: int = 2
+    bidirectional: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (L, B, input_size) -> (L, B, hidden*ndir)
+        ndir = 2 if self.bidirectional else 1
+        out_size = self.hidden_size * ndir
+        h = x
+        for layer in range(self.num_layers):
+            d_in = self.input_size if layer == 0 else out_size
+            k = 4 if d_in != out_size else 3
+            w = self.param(
+                f"weight_l{layer}",
+                # sru init: uniform(-sqrt(3/d_in), sqrt(3/d_in))
+                lambda key, shape: jax.random.uniform(
+                    key, shape, jnp.float32,
+                    -math.sqrt(3.0 / shape[0]), math.sqrt(3.0 / shape[0]),
+                ),
+                (d_in, k * out_size),
+            )
+            v = self.param(f"weight_c_l{layer}", nn.initializers.zeros, (2 * out_size,))
+            b = self.param(f"bias_l{layer}", nn.initializers.zeros, (2 * out_size,))
+
+            L, B, _ = h.shape
+            u = (h.reshape(L * B, d_in) @ w.astype(h.dtype)).reshape(L, B, k, out_size)
+            outs = []
+            for d in range(ndir):
+                sl = slice(d * self.hidden_size, (d + 1) * self.hidden_size)
+                u_d = jnp.stack([u[:, :, j, sl] for j in range(3)], axis=2)
+                if k == 4:
+                    skip = u[:, :, 3, sl]
+                else:
+                    skip = h[:, :, sl]
+                outs.append(
+                    _sru_direction(
+                        u_d, skip,
+                        v[sl].astype(h.dtype), v[out_size + d * self.hidden_size : out_size + (d + 1) * self.hidden_size].astype(h.dtype),
+                        b[sl].astype(h.dtype), b[out_size + d * self.hidden_size : out_size + (d + 1) * self.hidden_size].astype(h.dtype),
+                        reverse=(d == 1),
+                    )
+                )
+            h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
+        return h
+
+
+def sru_v1_layer(u0, f_pre, r_pre, x_skip):
+    """Associative-scan SRU-v1 direction: gates independent of c.
+
+    c_t = f_t⊙c_{t−1} + (1−f_t)⊙u0_t is the linear recurrence
+    c_t = a_t·c_{t−1} + b_t, composed associatively as
+    (a, b)∘(a', b') = (a·a', a'·b + b').
+    """
+    f = _sigmoid(f_pre)
+    a = f
+    b = (1.0 - f) * u0
+
+    def combine(x, y):
+        ax, bx = x
+        ay, by = y
+        return ax * ay, ay * bx + by
+
+    _, c = lax.associative_scan(combine, (a, b), axis=0)
+    r = _sigmoid(r_pre)
+    return r * c + (1.0 - r) * x_skip
+
+
+class LSTM(nn.Module):
+    """torch ``nn.LSTM`` semantics (gate order i,f,g,o; both biases)."""
+
+    input_size: int
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    batch_first: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.batch_first:
+            x = jnp.swapaxes(x, 0, 1)
+        ndir = 2 if self.bidirectional else 1
+        h = x
+        H = self.hidden_size
+        for layer in range(self.num_layers):
+            d_in = self.input_size if layer == 0 else H * ndir
+            outs = []
+            for d in range(ndir):
+                sfx = f"_l{layer}" + ("_reverse" if d == 1 else "")
+                w_ih = self.param(f"weight_ih{sfx}", torch_conv_init(H), (4 * H, d_in))
+                w_hh = self.param(f"weight_hh{sfx}", torch_conv_init(H), (4 * H, H))
+                b_ih = self.param(f"bias_ih{sfx}", torch_conv_init(H), (4 * H,))
+                b_hh = self.param(f"bias_hh{sfx}", torch_conv_init(H), (4 * H,))
+                L, B, _ = h.shape
+                u = (h.reshape(L * B, d_in) @ w_ih.T.astype(h.dtype) + (b_ih + b_hh).astype(h.dtype)).reshape(L, B, 4 * H)
+                whh = w_hh.T.astype(h.dtype)
+
+                def step(carry, u_t):
+                    h_prev, c_prev = carry
+                    g = u_t + h_prev @ whh
+                    i, f, gg, o = jnp.split(g, 4, axis=-1)
+                    c = _sigmoid(f) * c_prev + _sigmoid(i) * jnp.tanh(gg)
+                    hh = _sigmoid(o) * jnp.tanh(c)
+                    return (hh, c), hh
+
+                init = (jnp.zeros((B, H), h.dtype), jnp.zeros((B, H), h.dtype))
+                _, out = lax.scan(step, init, u, reverse=(d == 1))
+                outs.append(out)
+            h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
+        if self.batch_first:
+            h = jnp.swapaxes(h, 0, 1)
+        return h
+
+
+class GRU(nn.Module):
+    """torch ``nn.GRU`` semantics (gate order r,z,n; reset gate applied to
+    the hidden-projection of n as in cuDNN: n = tanh(W_in x + b_in +
+    r⊙(W_hn h + b_hn)))."""
+
+    input_size: int
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    batch_first: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if self.batch_first:
+            x = jnp.swapaxes(x, 0, 1)
+        ndir = 2 if self.bidirectional else 1
+        h = x
+        H = self.hidden_size
+        for layer in range(self.num_layers):
+            d_in = self.input_size if layer == 0 else H * ndir
+            outs = []
+            for d in range(ndir):
+                sfx = f"_l{layer}" + ("_reverse" if d == 1 else "")
+                w_ih = self.param(f"weight_ih{sfx}", torch_conv_init(H), (3 * H, d_in))
+                w_hh = self.param(f"weight_hh{sfx}", torch_conv_init(H), (3 * H, H))
+                b_ih = self.param(f"bias_ih{sfx}", torch_conv_init(H), (3 * H,))
+                b_hh = self.param(f"bias_hh{sfx}", torch_conv_init(H), (3 * H,))
+                L, B, _ = h.shape
+                u = (h.reshape(L * B, d_in) @ w_ih.T.astype(h.dtype) + b_ih.astype(h.dtype)).reshape(L, B, 3 * H)
+                whh = w_hh.T.astype(h.dtype)
+                bhh = b_hh.astype(h.dtype)
+
+                def step(h_prev, u_t):
+                    g_h = h_prev @ whh + bhh
+                    ur, uz, un = jnp.split(u_t, 3, axis=-1)
+                    hr, hz, hn = jnp.split(g_h, 3, axis=-1)
+                    r = _sigmoid(ur + hr)
+                    z = _sigmoid(uz + hz)
+                    n = jnp.tanh(un + r * hn)
+                    h_new = (1.0 - z) * n + z * h_prev
+                    return h_new, h_new
+
+                init = jnp.zeros((B, H), h.dtype)
+                _, out = lax.scan(step, init, u, reverse=(d == 1))
+                outs.append(out)
+            h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
+        if self.batch_first:
+            h = jnp.swapaxes(h, 0, 1)
+        return h
+
+
+def get_rnn(rnn_type: str):
+    return {"SRU": SRU, "LSTM": LSTM, "GRU": GRU}[rnn_type]
