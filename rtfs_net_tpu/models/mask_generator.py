@@ -1,0 +1,156 @@
+"""S³ mask generation (reference: ``src/models/TDAVNet/mask_generator.py``).
+
+``RI_split=True`` treats the embedding's channel halves as real/imag parts
+and applies the mask by complex multiplication — the S³ source-separation
+block of RTFS-Net.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from .layers import ConvNormAct
+from ..ops import activations
+from ..ops.conv import ConvTranspose
+
+
+def _apply_masks_ri(masks, emb, n_src: int, chan: int):
+    """Complex mask multiply. masks: (B, n_src*2*(C/2), *sp); emb:
+    (B, 2*(C/2), *sp) viewed as real/imag stacked on channel halves."""
+    batch = emb.shape[0]
+    dims = emb.shape[-(len(emb.shape) // 2):]
+    half = chan // 2
+    m = masks.reshape(batch, n_src, 2, half, *dims)
+    e = emb.reshape(batch, 2, half, *dims)
+    m_re, m_im = m[:, :, 0], m[:, :, 1]
+    e_re, e_im = e[:, 0][:, None], e[:, 1][:, None]
+    out_re = e_re * m_re - e_im * m_im
+    out_im = e_re * m_im + e_im * m_re
+    return jnp.concatenate([out_re, out_im], axis=2)  # (B, n_src, C, *sp)
+
+
+class MaskGenerator(nn.Module):
+    """PReLU + ConvNormAct -> n_src*C masks; optional Tanh×Sigmoid output
+    gate; RI_split complex multiply (reference ``mask_generator.py:20-99``)."""
+
+    n_src: int
+    audio_emb_dim: int
+    bottleneck_chan: int
+    kernel_size: int = 1
+    mask_act: Any = "ReLU"
+    RI_split: bool = False
+    output_gate: bool = False
+    dw_gate: bool = False
+    direct: bool = False
+    is2d: bool = False
+
+    @nn.compact
+    def __call__(self, refined, emb, train: bool = False):
+        if self.direct:
+            return refined
+        in_chan = self.audio_emb_dim
+        mask_output_chan = self.n_src * in_chan
+
+        masks = activations.PReLU(name="prelu")(refined)
+        masks = ConvNormAct(
+            in_chan=self.bottleneck_chan, out_chan=mask_output_chan,
+            kernel_size=self.kernel_size, act_type=self.mask_act,
+            is2d=self.is2d, name="mask_conv",
+        )(masks, train)
+
+        if self.output_gate:
+            groups = mask_output_chan if self.dw_gate else 1
+            out = ConvNormAct(mask_output_chan, mask_output_chan, 1,
+                              act_type="Tanh", is2d=self.is2d, groups=groups,
+                              name="output")(masks, train)
+            gate = ConvNormAct(mask_output_chan, mask_output_chan, 1,
+                               act_type="Sigmoid", is2d=self.is2d, groups=groups,
+                               name="gate")(masks, train)
+            masks = out * gate
+
+        batch = emb.shape[0]
+        dims = emb.shape[-(len(emb.shape) // 2):]
+        if self.RI_split:
+            return _apply_masks_ri(masks, emb, self.n_src, in_chan)
+        masks = masks.reshape(batch, self.n_src, in_chan, *dims)
+        return masks * emb[:, None]
+
+
+class MaskGenerator2Chan(nn.Module):
+    """Variant masking the raw 2-channel spectrogram directly
+    (reference ``mask_generator.py:102-187``)."""
+
+    n_src: int
+    bottleneck_chan: int
+    audio_emb_dim: int = 2
+    kernel_size: int = 3
+    stride: int = 1
+    bias: bool = False
+    mask_act: Any = "ReLU"
+    RI_split: bool = False
+    output_gate: bool = False
+    dw_gate: bool = False
+    direct: bool = False
+    is2d: bool = True
+
+    @nn.compact
+    def __call__(self, refined, emb, train: bool = False):
+        mask_output_chan = self.n_src * 2
+
+        def gen(x):
+            y = activations.PReLU(name="prelu")(x)
+            y = ConvTranspose(
+                in_chan=self.bottleneck_chan, out_chan=mask_output_chan,
+                kernel_size=self.kernel_size, ndim=2, stride=self.stride,
+                padding=(self.kernel_size - 1) // 2, use_bias=self.bias,
+                name="deconv",
+            )(y)
+            return activations.get(self.mask_act)()(y)
+
+        if self.direct:
+            shp = refined.shape
+            y = gen(refined)
+            if self.output_gate:
+                groups = mask_output_chan if self.dw_gate else 1
+                out = ConvNormAct(mask_output_chan, mask_output_chan, 1,
+                                  act_type="Tanh", is2d=True, groups=groups,
+                                  name="output")(y, train)
+                gate = ConvNormAct(mask_output_chan, mask_output_chan, 1,
+                                   act_type="Sigmoid", is2d=True, groups=groups,
+                                   name="gate")(y, train)
+                y = out * gate
+            return y.reshape(shp[0], self.n_src, 2, *shp[2:])
+
+        masks = gen(refined)
+        if self.output_gate:
+            groups = mask_output_chan if self.dw_gate else 1
+            out = ConvNormAct(mask_output_chan, mask_output_chan, 1,
+                              act_type="Tanh", is2d=True, groups=groups,
+                              name="output")(masks, train)
+            gate = ConvNormAct(mask_output_chan, mask_output_chan, 1,
+                               act_type="Sigmoid", is2d=True, groups=groups,
+                               name="gate")(masks, train)
+            masks = out * gate
+
+        batch = emb.shape[0]
+        dims = emb.shape[-(len(emb.shape) // 2):]
+        if self.RI_split:
+            return _apply_masks_ri(masks, emb, self.n_src, 2)
+        masks = masks.reshape(batch, self.n_src, 2, *dims)
+        return masks * emb[:, None]
+
+
+_REGISTRY = {"MaskGenerator": MaskGenerator, "MaskGenerator2Chan": MaskGenerator2Chan}
+
+
+def get(identifier):
+    if identifier is None:
+        return MaskGenerator
+    if callable(identifier):
+        return identifier
+    cls = _REGISTRY.get(identifier)
+    if cls is None:
+        raise ValueError(f"Could not interpret mask generator identifier: {identifier}")
+    return cls

@@ -1,0 +1,69 @@
+"""DPTNet separator (reference: ``src/models/separators/dpt.py``): gateway +
+projection convs around a config-built dual-path transformer stack."""
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.linen as nn
+
+from ..layers import ConvNormAct, build
+
+
+class DPTNetBlock(nn.Module):
+    in_chan: int
+    hid_chan: int
+    layers: Dict[str, dict] = None
+    is2d: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        residual = ConvNormAct(
+            in_chan=self.in_chan, out_chan=self.in_chan, kernel_size=1,
+            groups=self.in_chan, act_type="PReLU", is2d=self.is2d,
+            name="gateway",
+        )(x, train)
+        y = ConvNormAct(
+            in_chan=self.in_chan, out_chan=self.hid_chan, kernel_size=1,
+            is2d=self.is2d, name="projection",
+        )(residual, train)
+        for li, (lname, lconf) in enumerate((self.layers or {}).items()):
+            mod = build(lconf["layer_type"], in_chan=self.hid_chan,
+                        name=f"globalatt{li}",
+                        **{k: v for k, v in lconf.items() if k != "layer_type"})
+            y = mod(y, train)
+        y = ConvNormAct(
+            in_chan=self.hid_chan, out_chan=self.in_chan, kernel_size=1,
+            is2d=self.is2d, name="residual_conv",
+        )(y, train)
+        return y + residual
+
+
+class DPTNet(nn.Module):
+    in_chan: int = -1
+    hid_chan: int = -1
+    layers: Dict[str, dict] = None
+    repeats: int = 4
+    shared: bool = False
+    is2d: bool = False
+
+    def setup(self):
+        if self.in_chan > 0:
+            kw = dict(in_chan=self.in_chan, hid_chan=self.hid_chan,
+                      layers=self.layers, is2d=self.is2d)
+            if self.shared:
+                self.blocks = DPTNetBlock(**kw)
+            else:
+                self.blocks = [DPTNetBlock(**kw) for _ in range(self.repeats)]
+        else:
+            self.blocks = None
+
+    def get_block(self, i: int):
+        if self.blocks is None:
+            return lambda x, train=False: x
+        return self.blocks if self.shared else self.blocks[i]
+
+    def __call__(self, x, train: bool = False):
+        residual = x
+        for i in range(self.repeats):
+            x = self.get_block(i)((x + residual) if i > 0 else x, train)
+        return x

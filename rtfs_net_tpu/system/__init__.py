@@ -1,0 +1,16 @@
+"""Training system (reference: ``src/system/``)."""
+from .core import System, TrainState, online_mixing_collate
+from .optimizers import make_optimizer, get_lr, set_lr
+from .schedulers import ReduceLROnPlateau, StaircaseLR, EarlyStopping
+
+__all__ = [
+    "System",
+    "TrainState",
+    "online_mixing_collate",
+    "make_optimizer",
+    "get_lr",
+    "set_lr",
+    "ReduceLROnPlateau",
+    "StaircaseLR",
+    "EarlyStopping",
+]

@@ -1,0 +1,248 @@
+#!/usr/bin/env python
+"""Emit the model-zoo YAML configs (schema-compatible with the reference's
+``config/*.yaml`` so either stack can run either's configs).
+
+10 active configs: {lrs2,lrs3,voxceleb2} x RTFSNet-{4,6,12} + lrs2 CTCNet-16.
+Hyperparameters follow the RTFS-Net paper (arXiv:2309.17189) / CTCNet setup.
+"""
+import copy
+import os
+
+import yaml
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+OUT = os.path.join(HERE, "..", "rtfs_net_tpu", "configs")
+
+DATA_DIRS = {"lrs2": "LRS2", "lrs3": "LRS3", "voxceleb2": "VOX2"}
+
+COMMON_TRAIN = {
+    "training": {
+        "gpus": [0, 1, 2, 3, 4, 5, 6, 7],
+        "epochs": 200,
+        "batch_size": 4,
+        "num_workers": 8,
+        "half_lr": True,
+        "early_stop": True,
+        "divide_lr_by": None,
+        "online_mix": False,
+    },
+    "optim": {"optimizer": "adamw", "lr": 0.001, "weight_decay": 0.1},
+    "sche": {"patience": 49, "factor": 0.5},
+}
+
+VIDEONET = {
+    "model_name": "FRCNNVideoModel",
+    "backbone_type": "resnet",
+    "relu_type": "prelu",
+    "width_mult": 1.0,
+    "pretrain": "../pretrain_zoo/frcnn_128_512.backbone.pth.tar",
+}
+
+
+def data_block(dataset):
+    d = DATA_DIRS[dataset]
+    return {
+        "train_dir": f"data-preprocess/{d}/tr",
+        "valid_dir": f"data-preprocess/{d}/cv",
+        "nondefault_nsrc": 1,
+        "sample_rate": 16000,
+        "segment": 2.0,
+        "normalize_audio": False,
+    }
+
+
+def rtfsnet_audionet(repeats):
+    return {
+        "n_src": 1,
+        "pretrained_vout_chan": 512,
+        "video_bn_params": {"kernel_size": -1},
+        "audio_bn_params": {
+            "pre_norm_type": "gLN",
+            "pre_act_type": "ReLU",
+            "out_chan": 256,
+            "kernel_size": 1,
+            "is2d": True,
+        },
+        "enc_dec_params": {
+            "encoder_type": "STFTEncoder",
+            "decoder_type": "STFTDecoder",
+            "win": 256,
+            "hop_length": 128,
+            "out_chan": 256,
+            "kernel_size": 3,
+            "stride": 1,
+            "bias": False,
+            "act_type": None,
+            "norm_type": None,
+        },
+        "audio_params": {
+            "audio_net": "TDANet",
+            "hid_chan": 64,
+            "kernel_size": 4,
+            "stride": 2,
+            "norm_type": "gLN",
+            "act_type": "PReLU",
+            "upsampling_depth": 2,
+            "repeats": repeats,
+            "shared": True,
+            "is2d": True,
+            "layers": {
+                "layer_1": {
+                    "layer_type": "DualPathRNN",
+                    "hid_chan": 32,
+                    "dim": 4,
+                    "kernel_size": 8,
+                    "stride": 1,
+                    "rnn_type": "SRU",
+                    "num_layers": 4,
+                    "bidirectional": True,
+                },
+                "layer_2": {
+                    "layer_type": "DualPathRNN",
+                    "hid_chan": 32,
+                    "dim": 3,
+                    "kernel_size": 8,
+                    "stride": 1,
+                    "rnn_type": "SRU",
+                    "num_layers": 4,
+                    "bidirectional": True,
+                },
+                "layer_3": {
+                    "layer_type": "MultiHeadSelfAttention2D",
+                    "dim": 3,
+                    "n_freqs": 64,
+                    "n_head": 4,
+                    "hid_chan": 4,
+                    "act_type": "PReLU",
+                    "norm_type": "LayerNormalization4D",
+                },
+            },
+        },
+        "video_params": {
+            "video_net": "TDANet",
+            "hid_chan": 64,
+            "kernel_size": 3,
+            "stride": 2,
+            "norm_type": "BatchNorm1d",
+            "act_type": "PReLU",
+            "upsampling_depth": 4,
+            "repeats": 1,
+            "shared": True,
+            "is2d": False,
+            "layers": {
+                "layer_1": {
+                    "layer_type": "GlobalAttention",
+                    "ffn_name": "FeedForwardNetwork",
+                    "kernel_size": 3,
+                    "n_head": 8,
+                    "dropout": 0.1,
+                },
+            },
+        },
+        "fusion_params": {
+            "fusion_type": "ATTNFusion",
+            "fusion_shared": True,
+            "kernel_size": 4,
+            "is2d": True,
+        },
+        "mask_generation_params": {
+            "mask_generator_type": "MaskGenerator",
+            "mask_act": "ReLU",
+            "RI_split": True,
+            "is2d": True,
+        },
+    }
+
+
+def ctcnet_audionet(repeats):
+    return {
+        "n_src": 1,
+        "pretrained_vout_chan": 512,
+        "video_bn_params": {"out_chan": 64, "kernel_size": 1, "is2d": False},
+        "audio_bn_params": {"out_chan": 512, "kernel_size": 1, "is2d": False},
+        "enc_dec_params": {
+            "encoder_type": "ConvolutionalEncoder",
+            "decoder_type": "ConvolutionalDecoder",
+            "out_chan": 512,
+            "kernel_size": 21,
+            "stride": 10,
+            "bias": False,
+            "act_type": "ReLU",
+            "norm_type": "gLN",
+            "layers": 1,
+        },
+        "audio_params": {
+            "audio_net": "FRCNN",
+            "hid_chan": 512,
+            "upsampling_depth": 5,
+            "shared": True,
+            "repeats": repeats,
+            "norm_type": "gLN",
+            "act_type": "PReLU",
+            "kernel_size": 5,
+            "stride": 2,
+            "is2d": False,
+        },
+        "video_params": {
+            "video_net": "FRCNN",
+            "hid_chan": 64,
+            "upsampling_depth": 4,
+            "shared": False,
+            "repeats": 3,
+            "norm_type": "BatchNorm1d",
+            "act_type": "PReLU",
+            "kernel_size": 3,
+            "stride": 2,
+            "is2d": False,
+        },
+        "fusion_params": {
+            "fusion_type": "ConcatFusion",
+            "fusion_shared": False,
+            "is2d": False,
+        },
+        "mask_generation_params": {
+            "mask_act": "ReLU",
+            "is2d": False,
+            "output_gate": False,
+        },
+    }
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    configs = {}
+    for dataset in DATA_DIRS:
+        for repeats in (4, 6, 12):
+            name = f"{dataset}_RTFSNet_{repeats}_layer"
+            configs[name] = {
+                "videonet": copy.deepcopy(VIDEONET),
+                "audionet": rtfsnet_audionet(repeats),
+                **copy.deepcopy(COMMON_TRAIN),
+                "data": data_block(dataset),
+                "log": {
+                    "path": "log/tmp",
+                    "pro_name": "project",
+                    "exp_name": f"RTFS-Net/{DATA_DIRS[dataset]}/{repeats}_layers",
+                },
+            }
+    configs["lrs2_CTCNet_16_layer"] = {
+        "videonet": copy.deepcopy(VIDEONET),
+        "audionet": ctcnet_audionet(16),
+        **copy.deepcopy(COMMON_TRAIN),
+        "data": data_block("lrs2"),
+        "log": {
+            "path": "log/tmp",
+            "pro_name": "project",
+            "exp_name": "CTCNet/LRS2/16_layers",
+        },
+    }
+    for name, conf in configs.items():
+        path = os.path.join(OUT, f"{name}.yaml")
+        with open(path, "w") as f:
+            f.write(f"# {name} — generated by scripts/gen_configs.py\n")
+            yaml.safe_dump(conf, f, sort_keys=False, default_flow_style=None)
+        print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
