@@ -70,10 +70,10 @@ class ConvNormAct(nn.Module):
         if pad is None:
             pad = self.dilation * (self.kernel_size - 1) // 2 if self.stride > 1 else "same"
 
-        pre_norm = make_norm(self.pre_norm_type, self.in_chan)
-        pre_act = activations.get(self.pre_act_type)()
-        norm = make_norm(self.norm_type, out_chan)
-        act = activations.get(self.act_type)()
+        pre_norm = make_norm(self.pre_norm_type, self.in_chan, name="pre_norm")
+        pre_act = activations.get(self.pre_act_type)(name="pre_act")
+        norm = make_norm(self.norm_type, out_chan, name="norm")
+        act = activations.get(self.act_type)(name="act")
 
         y = apply_norm(pre_norm, x, train)
         y = pre_act(y)
@@ -136,8 +136,8 @@ class ConvActNorm(nn.Module):
             )(x)
         else:
             y = x
-        y = activations.get(self.act_type)()(y)
-        norm = make_norm(self.norm_type, self.out_chan, self.n_freqs)
+        y = activations.get(self.act_type)(name="act")(y)
+        norm = make_norm(self.norm_type, self.out_chan, self.n_freqs, name="norm")
         y = apply_norm(norm, y, train)
         return y
 
