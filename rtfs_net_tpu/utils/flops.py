@@ -1,0 +1,44 @@
+"""FLOPs/params accounting (replaces the reference's thop MACs reporting,
+``base_av_model.py:61-118`` / ``models/utils/utils.py:80-86``) using XLA's
+own compiled cost analysis."""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree.leaves(params))
+
+
+def flops_report(fn, *example_args, **example_kwargs) -> Dict[str, Any]:
+    """Compile fn and return XLA's cost analysis (flops, bytes accessed).
+    MACs ~= flops / 2 for conv/matmul-dominated graphs."""
+    lowered = jax.jit(fn).lower(*example_args, **example_kwargs)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns a list per computation
+        cost = cost[0] if cost else {}
+    flops = float(cost.get("flops", float("nan")))
+    return {
+        "flops": flops,
+        "gmacs": flops / 2e9,
+        "bytes_accessed": float(cost.get("bytes accessed", float("nan"))),
+        "raw": dict(cost),
+    }
+
+
+def model_macs_report(model, variables, *example_inputs,
+                      names_and_fns: Optional[Dict] = None) -> str:
+    """Readable params/MACs table for a model (the reference prints one on
+    every build)."""
+    lines = []
+    total_params = count_params(variables.get("params", variables))
+    try:
+        rep = flops_report(lambda v, *a: model.apply(v, *a), variables, *example_inputs)
+        lines.append(f"MACs: {rep['gmacs']:.2f} G")
+    except Exception as e:  # cost analysis unsupported on some backends
+        lines.append(f"MACs: unavailable ({e})")
+    lines.append(f"Params: {total_params / 1e6:.3f} M")
+    return "\n".join(lines)

@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Evaluation CLI (reference: ``test.py``).
+
+    python test.py --conf-dir <exp_dir>/conf.yaml --test-dir <manifest_dir>
+
+Loads ``best_model.ckpt`` from the experiment dir (rebuilt via the model
+registry from the embedded args — the reference instead re-imports a code
+snapshot, test.py:33-36; here the model is config-reconstructable so the
+embedded ``model_args`` ARE the snapshot), runs the full test set, streams
+per-utterance SI-SNRi/SDRi/PESQ/STOI to ``metrics.csv``, writes summary
+``results.csv`` and wav examples.
+
+Variable-length eval under XLA static shapes: utterances are bucketed by
+padded length (multiples of ``--bucket-size`` samples) so each bucket
+compiles once; metrics are computed on the unpadded samples.
+"""
+import argparse
+import os
+
+import numpy as np
+import yaml
+
+
+def main(conf):
+    import jax
+    import jax.numpy as jnp
+
+    from rtfs_net_tpu.datas import AVSpeechDataset, wavio
+    from rtfs_net_tpu.losses import PITLossWrapper, pairwise_neg_sisdr
+    from rtfs_net_tpu.metrics import ALLMetricsTracker
+    from rtfs_net_tpu.models import serialization
+    from rtfs_net_tpu.utils.flops import count_params
+
+    exp_dir = conf["main_args"].get("exp_dir") or os.path.dirname(
+        conf["main_args"]["conf_dir"]
+    )
+    model_path = os.path.join(exp_dir, "best_model.ckpt")
+    model, variables, header = serialization.load_model(model_path)
+
+    videonet = conf.get("videonet") or {}
+    video_apply = None
+    if videonet.get("model_name"):
+        import dataclasses
+        from rtfs_net_tpu.models import videomodels
+
+        cls = videomodels.get(videonet["model_name"])
+        fields = {f.name for f in dataclasses.fields(cls)}
+        vmodel = cls(**{k: v for k, v in videonet.items() if k in fields})
+        vvars = jax.jit(vmodel.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 1, 4, 88, 88)))
+        pretrain = videonet.get("pretrain")
+        if pretrain and os.path.exists(pretrain):
+            from rtfs_net_tpu.utils.torch_convert import load_video_backbone
+
+            vvars = load_video_backbone(pretrain, vvars)
+        video_apply = jax.jit(lambda m: vmodel.apply(vvars, m))
+
+    test_set = AVSpeechDataset(
+        conf["main_args"]["test_dir"],
+        n_src=conf["data"]["nondefault_nsrc"],
+        sample_rate=conf["data"]["sample_rate"],
+        segment=None,
+        normalize_audio=conf["data"]["normalize_audio"],
+    )
+
+    save_dir = os.path.join(exp_dir, "results_new")
+    os.makedirs(os.path.join(save_dir, "examples"), exist_ok=True)
+    metrics = ALLMetricsTracker(save_file=os.path.join(save_dir, "metrics.csv"))
+    loss_func = PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx")
+
+    bucket = int(conf["main_args"].get("bucket_size", 16000))
+    fwd = jax.jit(lambda v, m, e: model.apply(v, m, e))
+    n_save_ex = int(conf["main_args"].get("n_save_ex", 10))
+
+    for idx in range(len(test_set)):
+        sample = test_set[idx]
+        mix, sources = np.asarray(sample[0]), np.asarray(sample[1])
+        mouths = np.asarray(sample[2]) if len(sample) > 3 else None
+        key = sample[3] if len(sample) > 3 else sample[2]
+        if sources.ndim == 1:
+            sources = sources[None]
+        L = mix.shape[-1]
+        pad_L = -(-L // bucket) * bucket
+        mix_p = np.pad(mix, (0, pad_L - L))
+
+        mouth_emb = None
+        if video_apply is not None and mouths is not None:
+            mouth_emb = video_apply(jnp.asarray(mouths[None], jnp.float32))
+        est = fwd(variables, jnp.asarray(mix_p[None]), mouth_emb)
+        est = np.asarray(est)[0][:, :L]  # (n_src, L) unpadded
+
+        _, reordered = loss_func(jnp.asarray(est[None]),
+                                 jnp.asarray(sources[None]), return_ests=True)
+        est = np.asarray(reordered)[0]
+
+        metrics(mix=mix, clean=sources, estimate=est, key=key,
+                sample_rate=conf["data"]["sample_rate"])
+        if idx < n_save_ex:
+            sr = conf["data"]["sample_rate"]
+            wavio.write(os.path.join(save_dir, "examples", f"{idx}_est.wav"), est[0], sr)
+            wavio.write(os.path.join(save_dir, "examples", f"{idx}_gt.wav"), sources[0], sr)
+            wavio.write(os.path.join(save_dir, "examples", f"{idx}_mix.wav"), mix, sr)
+        if idx % 50 == 0:
+            print(f"[{idx}/{len(test_set)}] {metrics.get_mean()}")
+
+    metrics.final()
+    mean, std = metrics.get_mean(), metrics.get_std()
+
+    order = ["si-snr_i", "sdr_i", "pesq", "stoi", "si-snr", "sdr"]
+    rows = [("Model", conf["log"]["exp_name"]),
+            ("Params (M)", count_params(variables["params"]) / 1e6)]
+    for k in sorted(mean, key=lambda k: order.index(k) if k in order else 100):
+        m, s = round(mean[k], 4), round(std[k], 3)
+        rows.append((k, f"{m} ± {s}"))
+        print(f"{k}\tmean: {m}  std: {s}")
+    for k, v in conf["audionet"].items():
+        if isinstance(v, dict):
+            rows.extend([(f"{k}_{kk}", vv) for kk, vv in v.items()])
+        else:
+            rows.append((k, v))
+
+    import csv
+
+    with open(os.path.join(save_dir, "results.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["Key", "Value"])
+        w.writerows(rows)
+
+
+if __name__ == "__main__":
+    from rtfs_net_tpu.utils import prepare_parser_from_dict, parse_args_as_dict
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--conf-dir", required=True,
+                        help="Path to the experiment conf.yaml")
+    parser.add_argument("--test-dir", required=True,
+                        help="Manifest dir with {mix,s1,s2}.json")
+    parser.add_argument("--exp-dir", default=None)
+    parser.add_argument("--n-save-ex", dest="n_save_ex", default=10, type=int)
+    parser.add_argument("--bucket-size", dest="bucket_size", default=16000, type=int)
+    args, _ = parser.parse_known_args()
+    with open(args.conf_dir) as f:
+        def_conf = yaml.safe_load(f)
+    parser = prepare_parser_from_dict(def_conf, parser=parser)
+    conf = parse_args_as_dict(parser)
+    conf["main_args"]["conf_dir"] = args.conf_dir
+    main(conf)

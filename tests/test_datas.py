@@ -1,0 +1,129 @@
+"""Data pipeline tests: wav IO vs scipy golden, dataset semantics, loader."""
+import json
+import os
+
+import numpy as np
+import pytest
+from scipy.io import wavfile
+
+from rtfs_net_tpu.datas import (
+    AVSpeechDataset, DataLoader, get_preprocessing_pipelines, wavio,
+)
+
+
+def test_wavio_pcm16_roundtrip_and_ranged_read(rng, tmp_path):
+    sr = 16000
+    x = (rng.standard_normal(40000) * 0.3).clip(-1, 1).astype(np.float32)
+    p = str(tmp_path / "a.wav")
+    wavio.write(p, x, sr)
+    # golden read via scipy
+    sr2, golden = wavfile.read(p)
+    assert sr2 == sr
+    data, sr3 = wavio.read(p)
+    np.testing.assert_allclose(data, golden.astype(np.float32) / 32768.0)
+    # ranged read
+    seg, _ = wavio.read(p, start=100, stop=1100)
+    np.testing.assert_allclose(seg, data[100:1100])
+    # info
+    n, s, c = wavio.info(p)
+    assert (n, s, c) == (40000, sr, 1)
+
+
+def test_wavio_float32(rng, tmp_path):
+    sr = 16000
+    x = rng.standard_normal(1000).astype(np.float32)
+    p = str(tmp_path / "f32.wav")
+    wavfile.write(p, sr, x)  # scipy writes IEEE float
+    data, sr2 = wavio.read(p)
+    assert sr2 == sr
+    np.testing.assert_allclose(data, x)
+
+
+def _make_manifest(tmp_path, rng, n_utts=4, n_samples=40000, short=0):
+    sr = 16000
+    mix, s1, s2 = [], [], []
+    for i in range(n_utts):
+        L = 10000 if i < short else n_samples
+        paths = []
+        for name in ("mix", "s1", "s2"):
+            p = str(tmp_path / f"{name}_{i}.wav")
+            wavio.write(p, rng.standard_normal(L).astype(np.float32) * 0.1, sr)
+            paths.append(p)
+        mouths = []
+        for name in ("m1", "m2"):
+            mp = str(tmp_path / f"{name}_{i}.npz")
+            np.savez_compressed(mp, data=(rng.random((50, 96, 96)) * 255).astype(np.uint8))
+            mouths.append(mp)
+        mix.append([paths[0], L])
+        s1.append([paths[1], mouths[0], L])
+        s2.append([paths[2], mouths[1], L])
+    for name, data in (("mix", mix), ("s1", s1), ("s2", s2)):
+        with open(tmp_path / f"{name}.json", "w") as f:
+            json.dump(data, f)
+    return str(tmp_path)
+
+
+def test_dataset_n_src_1(rng, tmp_path):
+    d = _make_manifest(tmp_path, rng, n_utts=3, short=1)
+    ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0)
+    # 3 utts, 1 short dropped, x2 speakers
+    assert len(ds) == 4
+    mix, src, mouth, key = ds[0]
+    assert mix.shape == (32000,)
+    assert src.shape == (32000,)
+    assert mouth.shape == (1, 50, 88, 88)
+    assert isinstance(key, str)
+
+
+def test_dataset_n_src_2_and_normalize(rng, tmp_path):
+    d = _make_manifest(tmp_path, rng, n_utts=2)
+    ds = AVSpeechDataset(d, n_src=2, sample_rate=16000, segment=2.0,
+                         normalize_audio=True)
+    mix, srcs, mouths, key = ds[0]
+    assert mix.shape == (32000,)
+    assert srcs.shape == (2, 32000)
+    assert mouths.shape == (2, 50, 88, 88)
+    assert abs(float(mix.mean())) < 1e-3  # normalized
+
+
+def test_dataset_test_mode_full_length(rng, tmp_path):
+    d = _make_manifest(tmp_path, rng, n_utts=2)
+    ds = AVSpeechDataset(d, n_src=2, sample_rate=16000, segment=None)
+    mix, srcs, mouths, key = ds[0]
+    assert srcs.shape[1] == 40000  # full length in test mode
+
+
+def test_dataset_audio_only(rng, tmp_path):
+    d = _make_manifest(tmp_path, rng, n_utts=2)
+    ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0,
+                         audio_only=True)
+    out = ds[0]
+    assert len(out) == 3  # mix, src, key
+
+
+def test_transforms():
+    pipes = get_preprocessing_pipelines()
+    frames = (np.random.default_rng(0).random((20, 96, 96)) * 255).astype(np.float32)
+    out_train = pipes["train"](frames)
+    out_val = pipes["val"](frames)
+    assert out_train.shape == (20, 88, 88)
+    assert out_val.shape == (20, 88, 88)
+    # val crop deterministic: center
+    c = pipes["val"](frames)
+    np.testing.assert_allclose(out_val, c)
+
+
+def test_loader_batches_and_sharding(rng, tmp_path):
+    d = _make_manifest(tmp_path, rng, n_utts=4)
+    ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0)  # 8 items
+    dl = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 4
+    mix, src, mouth, keys = batches[0]
+    assert mix.shape == (2, 32000)
+    assert mouth.shape == (2, 1, 50, 88, 88)
+    assert len(keys) == 2
+    # 2-host sharding partitions disjointly
+    dl0 = DataLoader(ds, batch_size=2, shuffle=False, shard_index=0, num_shards=2)
+    dl1 = DataLoader(ds, batch_size=2, shuffle=False, shard_index=1, num_shards=2)
+    assert len(dl0) == 2 and len(dl1) == 2
