@@ -22,9 +22,11 @@ from .rnn_blocks import (
     RNNProjection,
     DualPathRNN,
     ConvLSTMCell,
+    BiLSTM2D,
     GlobalAttentionRNN,
     GlobalGALR,
 )
+from .mixer_blocks import MLP, Permutator
 from .attention_blocks import (
     MultiHeadSelfAttention,
     MultiHeadSelfAttention2D,
@@ -53,6 +55,9 @@ _REGISTRY = {
         ConvolutionalRNN,
         RNNProjection,
         DualPathRNN,
+        BiLSTM2D,
+        MLP,
+        Permutator,
         GlobalAttentionRNN,
         GlobalGALR,
         MultiHeadSelfAttention,

@@ -173,6 +173,73 @@ class ConvLSTMCell(nn.Module):
         return h_next, c_next
 
 
+class BiLSTM2D(nn.Module):
+    """conv-gated LSTM scanned over frequency windows (legacy,
+    reference ``rnn_layers.py:231-301``): slices of ``window`` columns are
+    unfolded and fed through one ConvLSTMCell whose state threads across
+    slices; bidirectionality via channel-concat of the flipped input."""
+
+    in_chan: int
+    hid_chan: int
+    dim: int = 3
+    kernel_size: int = 5
+    window: int = 8
+    stride: int = 1
+    act_type: Any = "PReLU"
+    norm_type: Any = "gLN"
+    bidirectional: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        num_dir = 2 if self.bidirectional else 1
+        residual = x
+        norm = make_norm(self.norm_type, self.in_chan, name="norm")
+        y = apply_norm(norm, x, train)
+
+        if self.bidirectional:
+            y = jnp.concatenate([y, jnp.flip(y, self.dim - 1)], axis=1)
+        if self.dim == 3:
+            y = jnp.swapaxes(y, -1, -2)
+
+        bs = y.shape[0]
+        old_w, old_h = y.shape[-2:]
+        w_, s_ = self.window, self.stride
+        new_w = int(math.ceil((old_w - w_) / s_) * s_ + w_)
+        new_h = int(math.ceil((old_h - w_) / s_) * s_ + w_)
+        y = jnp.pad(y, ((0, 0), (0, 0), (0, new_w - old_w), (0, new_h - old_h)))
+        iterations = int(math.ceil(new_h / w_))
+
+        cell = ConvLSTMCell(self.in_chan * w_, self.hid_chan, self.kernel_size,
+                            num_dir, name="lstm_cell")
+        hidden = jnp.zeros((1, self.hid_chan * num_dir, 1), y.dtype)
+        cell_t = jnp.zeros((1, self.hid_chan * num_dir, 1), y.dtype)
+        outputs = []
+        cin = self.in_chan * num_dir
+        for i in range(iterations):
+            sl = y[..., i * w_: (i + 1) * w_]
+            wdim, hdim = sl.shape[-2:]
+            sl = sl.transpose(0, 3, 1, 2).reshape(bs * hdim, cin, wdim)
+            sl = unfold_1d(sl, w_, s_)  # (bs*h, C*w, L)
+            hidden, cell_t = cell(sl, hidden, cell_t, train)
+            outputs.append(
+                hidden.reshape(bs, hdim, self.hid_chan * num_dir, -1)
+                .transpose(0, 2, 3, 1)
+            )
+        y = jnp.concatenate(outputs, axis=-1)
+
+        hd = self.hid_chan * num_dir
+        y = ConvTranspose(hd, hd, (w_, 1), ndim=2, stride=(s_, 1), groups=hd,
+                          name="proj_deconv")(y)
+        y = activations.get(self.act_type)(name="proj_act")(y)
+        pnorm = make_norm(self.norm_type, hd, name="proj_norm")
+        y = apply_norm(pnorm, y, train)
+        y = ConvActNorm(hd, self.in_chan, 1, is2d=True, name="proj_out")(y, train)
+        y = y[..., :old_w, :old_h]
+        if self.dim == 3:
+            y = jnp.swapaxes(y, -1, -2)
+        return y + residual
+
+
 class GlobalAttentionRNN(nn.Module):
     """RNNProjection wrapper (reference ``rnn_layers.py:304-326``)."""
 
