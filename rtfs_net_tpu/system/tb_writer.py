@@ -29,12 +29,23 @@ def _make_crc_table():
 
 _CRC_TABLE = _make_crc_table()
 
+try:  # native C++ fast path (native/pesq_core.cpp)
+    from rtfs_net_tpu_native import crc32c as _native_crc32c
+except Exception:
+    _native_crc32c = None
 
-def crc32c(data: bytes) -> int:
+
+def crc32c_py(data: bytes) -> int:
     crc = 0xFFFFFFFF
     for b in data:
         crc = _CRC_TABLE[(crc ^ b) & 0xFF] ^ (crc >> 8)
     return crc ^ 0xFFFFFFFF
+
+
+def crc32c(data: bytes) -> int:
+    if _native_crc32c is not None:
+        return _native_crc32c(data)
+    return crc32c_py(data)
 
 
 def _masked_crc(data: bytes) -> int:
