@@ -101,6 +101,19 @@ class Conv(nn.Module):
         w_init = xavier_uniform_init() if self.xavier_init else torch_conv_init(fan_in)
         w = self.param("weight", w_init, wshape)
 
+        # depthwise 1x1 is just a per-channel scale (+bias): lower to
+        # elementwise math — grouped 1x1 convs hit slow XLA conv paths on
+        # TPU while this fuses into neighbouring VPU ops
+        if (self.groups == self.in_chan and self.out_chan == self.in_chan
+                and all(k == 1 for k in kernel)
+                and all(s == 1 for s in stride)):
+            scale = w.reshape((1, self.out_chan) + (1,) * nd).astype(x.dtype)
+            y = x * scale
+            if self.use_bias:
+                b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
+                y = y + b.reshape((1, -1) + (1,) * nd).astype(x.dtype)
+            return y
+
         dn = lax.conv_dimension_numbers(
             x.shape, wshape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))
         )
