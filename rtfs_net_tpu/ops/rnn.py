@@ -26,7 +26,7 @@ DualPathRNN which feeds ``(unfolded_T, B·F, C·k)`` (rnn_layers.py:147).
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -62,6 +62,12 @@ def _sru_direction(u, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
     return h
 
 
+# "scan" = lax.scan elementwise recurrence (portable); "pallas" = fused
+# Pallas TPU kernel per direction (ops/pallas/sru_kernel.py). Trace-time
+# static; set before jit.
+DEFAULT_SRU_BACKEND = "scan"
+
+
 class SRU(nn.Module):
     """Multi-layer (bi)directional SRU, sru==2.6.0 v2 cell semantics."""
 
@@ -69,6 +75,7 @@ class SRU(nn.Module):
     hidden_size: int
     num_layers: int = 2
     bidirectional: bool = False
+    backend: Optional[str] = None
 
     @nn.compact
     def __call__(self, x):
@@ -93,22 +100,36 @@ class SRU(nn.Module):
 
             L, B, _ = h.shape
             u = (h.reshape(L * B, d_in) @ w.astype(h.dtype)).reshape(L, B, k, out_size)
+            backend = self.backend or DEFAULT_SRU_BACKEND
             outs = []
             for d in range(ndir):
                 sl = slice(d * self.hidden_size, (d + 1) * self.hidden_size)
-                u_d = jnp.stack([u[:, :, j, sl] for j in range(3)], axis=2)
                 if k == 4:
                     skip = u[:, :, 3, sl]
                 else:
                     skip = h[:, :, sl]
-                outs.append(
-                    _sru_direction(
-                        u_d, skip,
-                        v[sl].astype(h.dtype), v[out_size + d * self.hidden_size : out_size + (d + 1) * self.hidden_size].astype(h.dtype),
-                        b[sl].astype(h.dtype), b[out_size + d * self.hidden_size : out_size + (d + 1) * self.hidden_size].astype(h.dtype),
-                        reverse=(d == 1),
-                    )
-                )
+                v_f = v[sl].astype(h.dtype)
+                v_r = v[out_size + d * self.hidden_size:
+                        out_size + (d + 1) * self.hidden_size].astype(h.dtype)
+                b_f = b[sl].astype(h.dtype)
+                b_r = b[out_size + d * self.hidden_size:
+                        out_size + (d + 1) * self.hidden_size].astype(h.dtype)
+                if backend == "pallas":
+                    import os
+
+                    from .pallas.sru_kernel import sru_direction_pallas
+
+                    interp = os.environ.get("RTFS_PALLAS_INTERPRET") == "1"
+                    outs.append(sru_direction_pallas(
+                        u[:, :, 0, sl], u[:, :, 1, sl], u[:, :, 2, sl], skip,
+                        v_f, v_r, b_f, b_r, reverse=(d == 1),
+                        interpret=interp,
+                    ))
+                else:
+                    u_d = jnp.stack([u[:, :, j, sl] for j in range(3)], axis=2)
+                    outs.append(_sru_direction(
+                        u_d, skip, v_f, v_r, b_f, b_r, reverse=(d == 1),
+                    ))
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         return h
 
