@@ -21,11 +21,18 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data",
+              batch_size: Optional[int] = None) -> Mesh:
+    """1-D mesh over the local devices. When ``batch_size`` is given the
+    mesh is clamped to the largest device count that divides it (a batch
+    of 2 on an 8-chip host runs on 2 chips rather than failing)."""
     devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (axis,))
+    n = n_devices or len(devices)
+    n = min(n, len(devices))
+    if batch_size is not None:
+        while batch_size % n:
+            n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

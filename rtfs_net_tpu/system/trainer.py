@@ -47,6 +47,7 @@ class Trainer:
         early_stop_patience: int = 15,
         save_top_k: int = 5,
         n_devices: Optional[int] = None,
+        batch_size: Optional[int] = None,
         logger: Optional[TensorBoardLogger] = None,
         log_every: int = 50,
     ):
@@ -56,7 +57,9 @@ class Trainer:
         self.config = config or {}
         os.makedirs(exp_dir, exist_ok=True)
 
-        self.mesh = make_mesh(n_devices)
+        if batch_size is None:
+            batch_size = (self.config.get("training") or {}).get("batch_size")
+        self.mesh = make_mesh(n_devices, batch_size=batch_size)
         self.train_step = make_parallel_train_step(system, self.mesh)
         self.val_step = make_parallel_val_step(system, self.mesh)
 
