@@ -45,15 +45,18 @@ class DPTNet(nn.Module):
     repeats: int = 4
     shared: bool = False
     is2d: bool = False
+    remat: bool = True  # rematerialize each block in backward (saves ~NxHBM)
 
     def setup(self):
         if self.in_chan > 0:
             kw = dict(in_chan=self.in_chan, hid_chan=self.hid_chan,
                       layers=self.layers, is2d=self.is2d)
+            cls = (nn.remat(DPTNetBlock, static_argnums=(2,))
+                   if self.remat else DPTNetBlock)
             if self.shared:
-                self.blocks = DPTNetBlock(**kw)
+                self.blocks = cls(**kw)
             else:
-                self.blocks = [DPTNetBlock(**kw) for _ in range(self.repeats)]
+                self.blocks = [cls(**kw) for _ in range(self.repeats)]
         else:
             self.blocks = None
 

@@ -107,6 +107,7 @@ class FRCNN(nn.Module):
     repeats: int = 4
     shared: bool = False
     is2d: bool = False
+    remat: bool = True  # rematerialize each block in backward (saves ~NxHBM)
 
     def setup(self):
         if self.in_chan > 0 and self.hid_chan > 0:
@@ -116,10 +117,12 @@ class FRCNN(nn.Module):
                 norm_type=self.norm_type, act_type=self.act_type,
                 upsampling_depth=self.upsampling_depth, is2d=self.is2d,
             )
+            cls = (nn.remat(FRCNNBlock, static_argnums=(2,))
+                   if self.remat else FRCNNBlock)
             if self.shared:
-                self.blocks = FRCNNBlock(**kw)
+                self.blocks = cls(**kw)
             else:
-                self.blocks = [FRCNNBlock(**kw) for _ in range(self.repeats)]
+                self.blocks = [cls(**kw) for _ in range(self.repeats)]
         else:
             self.blocks = None
 

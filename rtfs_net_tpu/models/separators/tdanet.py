@@ -117,6 +117,7 @@ class TDANet(nn.Module):
     repeats: int = 4
     shared: bool = False
     is2d: bool = False
+    remat: bool = True  # rematerialize each block in backward (saves ~NxHBM)
 
     def setup(self):
         if self.in_chan > 0 and self.hid_chan > 0:
@@ -127,10 +128,12 @@ class TDANet(nn.Module):
                 upsampling_depth=self.upsampling_depth, layers=self.layers,
                 is2d=self.is2d,
             )
+            cls = (nn.remat(TDANetBlock, static_argnums=(2,))
+                   if self.remat else TDANetBlock)
             if self.shared:
-                self.blocks = TDANetBlock(**kw)
+                self.blocks = cls(**kw)
             else:
-                self.blocks = [TDANetBlock(**kw) for _ in range(self.repeats)]
+                self.blocks = [cls(**kw) for _ in range(self.repeats)]
         else:
             self.blocks = None
 
