@@ -63,15 +63,9 @@ def main(args):
     print(f"model built in {time.time() - t0:.1f}s: {n_params / 1e6:.3f} M params")
 
     if args.check_only:
-        try:
-            from rtfs_net_tpu.utils.flops import flops_report
+        from rtfs_net_tpu.utils.flops import model_macs_report
 
-            rep = flops_report(
-                lambda v, m, e: model.apply(v, m, e), variables, mix, mouth_emb0
-            )
-            print(f"MACs (2s input): {rep['gmacs']:.2f} G")
-        except Exception as e:
-            print(f"MACs unavailable: {e}")
+        print(model_macs_report(model, variables, mix, mouth_emb0))
         return
 
     # frozen random video backbone (no pretrain in the smoke test)

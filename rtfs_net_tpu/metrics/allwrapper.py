@@ -10,8 +10,6 @@ there agree).
 from __future__ import annotations
 
 import csv
-from typing import Optional
-
 import numpy as np
 import jax.numpy as jnp
 

@@ -1,8 +1,6 @@
 """Audio decoders (reference: ``src/models/TDAVNet/decoder.py``)."""
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -6,8 +6,6 @@ shapes. ATTNFusion (the CAF block) is what RTFS-Net configs use.
 """
 from __future__ import annotations
 
-from typing import Any
-
 import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn

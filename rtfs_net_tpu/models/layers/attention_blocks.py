@@ -14,10 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 import flax.linen as nn
 
-from ...ops import activations
-from ...ops.conv import Conv, DropPath, Linear, avg_pool, max_pool
+from ...ops.conv import Conv, DropPath, Linear
 from ...ops.normalizations import LayerNorm
-from .conv_blocks import ConvActNorm, make_norm, apply_norm
+from .conv_blocks import ConvActNorm, apply_norm
 
 
 def positional_encoding(length: int, channels: int, max_len: int = 10000) -> np.ndarray:

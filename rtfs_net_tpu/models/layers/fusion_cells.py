@@ -6,7 +6,6 @@ used by RTFS-Net configs.
 """
 from __future__ import annotations
 
-import math
 from typing import Any
 
 import jax

@@ -4,7 +4,7 @@ configs): patchify (B,C,H,W) -> mixer layers over patch/channel (or
 segmented-axis permutations) -> unpatchify, pad/crop to the patch grid."""
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,7 @@
 projection convs around a config-built dual-path transformer stack."""
 from __future__ import annotations
 
-from typing import Any, Dict
+from typing import Dict
 
 import flax.linen as nn
 

@@ -10,8 +10,6 @@ all params get stop_gradient and BN always runs in eval mode (reference
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -3,13 +3,13 @@
 global avgpool, no classification head)."""
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ...ops.conv import Conv, avg_pool
+from ...ops.conv import Conv
 from ...ops.normalizations import BatchNorm2d
 from ...ops.activations import PReLU
 

@@ -4,8 +4,6 @@
 conv1/maxpool — ``frcnn_videomodel.py:34-37``)."""
 from __future__ import annotations
 
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

@@ -226,17 +226,30 @@ class Linear(nn.Module):
         return y
 
 
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """0/1 selection matrix (in, out) for torch nearest interpolation
+    (src = floor(dst * in/out))."""
+    m = np.zeros((in_size, out_size), np.float32)
+    idx = np.floor(np.arange(out_size) * (in_size / out_size)).astype(np.int64)
+    m[idx, np.arange(out_size)] = 1.0
+    return m
+
+
 def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """torch ``F.interpolate(mode="nearest")`` on (B, C, *spatial):
-    src_idx = floor(dst_idx * in/out) per dim."""
+    src_idx = floor(dst_idx * in/out) per dim.
+
+    Lowered to dense 0/1-matrix contractions (exact; static shapes) —
+    gathers along minor axes are a major bandwidth sink on TPU, while
+    these selection matmuls ride the MXU like the pooling path."""
     spatial = x.shape[2:]
     size = tuple(int(s) for s in size)
     assert len(size) == len(spatial)
     for d, (ins, outs) in enumerate(zip(spatial, size)):
         if ins == outs:
             continue
-        idx = np.floor(np.arange(outs) * (ins / outs)).astype(np.int32)
-        x = jnp.take(x, jnp.asarray(idx), axis=2 + d)
+        m = jnp.asarray(_nearest_matrix(ins, outs), x.dtype)
+        x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0])), -1, 2 + d)
     return x
 
 

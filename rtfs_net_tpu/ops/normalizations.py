@@ -9,7 +9,7 @@ else dim (1), with biased variance).
 """
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ DualPathRNN which feeds ``(unfolded_T, B·F, C·k)`` (rnn_layers.py:147).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -46,8 +46,11 @@ def _sru_direction(u, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
     u: (L, B, k, H) projected inputs (k=3 or 4); x_skip: (L, B, H) highway
     input (raw x when k==3, u[...,3,:] when k==4). Returns h: (L, B, H).
     """
-    u0, u1, u2 = u[:, :, 0], u[:, :, 1], u[:, :, 2]
+    return _sru_direction_split(u[:, :, 0], u[:, :, 1], u[:, :, 2], x_skip,
+                                v_f, v_r, b_f, b_r, reverse)
 
+
+def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
     def step(c_prev, inputs):
         u0_t, u1_t, u2_t, xs_t = inputs
         f_t = _sigmoid(u1_t + v_f * c_prev + b_f)
@@ -126,9 +129,9 @@ class SRU(nn.Module):
                         interpret=interp,
                     ))
                 else:
-                    u_d = jnp.stack([u[:, :, j, sl] for j in range(3)], axis=2)
-                    outs.append(_sru_direction(
-                        u_d, skip, v_f, v_r, b_f, b_r, reverse=(d == 1),
+                    outs.append(_sru_direction_split(
+                        u[:, :, 0, sl], u[:, :, 1, sl], u[:, :, 2, sl],
+                        skip, v_f, v_r, b_f, b_r, reverse=(d == 1),
                     ))
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         return h

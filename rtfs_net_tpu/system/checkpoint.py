@@ -12,7 +12,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import orbax.checkpoint as ocp
 

@@ -11,7 +11,6 @@ the system is a pair of **pure step functions** (train/val) over an explicit
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax

@@ -12,7 +12,7 @@ optax ``inject_hyperparams`` state without recompiling the step.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 
 @dataclass

@@ -31,14 +31,23 @@ def flops_report(fn, *example_args, **example_kwargs) -> Dict[str, Any]:
 
 def model_macs_report(model, variables, *example_inputs,
                       names_and_fns: Optional[Dict] = None) -> str:
-    """Readable params/MACs table for a model (the reference prints one on
-    every build)."""
+    """Readable params/MACs table for a model — per-top-level-module param
+    counts + total MACs (the reference prints an equivalent thop table on
+    every build, ``base_av_model.py:61-118``)."""
     lines = []
-    total_params = count_params(variables.get("params", variables))
+    params = variables.get("params", variables)
+    total_params = count_params(params)
+    rows = []
+    for name, sub in sorted(params.items()):
+        rows.append((name, count_params(sub)))
+    width = max((len(n) for n, _ in rows), default=10)
+    lines.append(f"{'module':<{width}}  params(K)")
+    for name, n in rows:
+        lines.append(f"{name:<{width}}  {n / 1e3:9.1f}")
     try:
         rep = flops_report(lambda v, *a: model.apply(v, *a), variables, *example_inputs)
-        lines.append(f"MACs: {rep['gmacs']:.2f} G")
+        lines.append(f"MACs (example input): {rep['gmacs']:.2f} G")
     except Exception as e:  # cost analysis unsupported on some backends
         lines.append(f"MACs: unavailable ({e})")
-    lines.append(f"Params: {total_params / 1e6:.3f} M")
+    lines.append(f"Params total: {total_params / 1e6:.3f} M")
     return "\n".join(lines)

@@ -12,7 +12,10 @@ per-utterance SI-SNRi/SDRi/PESQ/STOI to ``metrics.csv``, writes summary
 
 Variable-length eval under XLA static shapes: utterances are bucketed by
 padded length (multiples of ``--bucket-size`` samples) so each bucket
-compiles once; metrics are computed on the unpadded samples.
+compiles once; metrics are computed on the unpadded samples. Zero padding
+slightly shifts the gLN global statistics, so smaller buckets are more
+faithful (default 4000 = 0.25 s granularity; ``--bucket-size 1`` gives
+exact-length eval at the cost of one compile per distinct length).
 """
 import argparse
 import os
@@ -68,7 +71,7 @@ def main(conf):
     metrics = ALLMetricsTracker(save_file=os.path.join(save_dir, "metrics.csv"))
     loss_func = PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx")
 
-    bucket = int(conf["main_args"].get("bucket_size", 16000))
+    bucket = int(conf["main_args"].get("bucket_size", 4000))
     fwd = jax.jit(lambda v, m, e: model.apply(v, m, e))
     n_save_ex = int(conf["main_args"].get("n_save_ex", 10))
 
@@ -137,7 +140,7 @@ if __name__ == "__main__":
                         help="Manifest dir with {mix,s1,s2}.json")
     parser.add_argument("--exp-dir", default=None)
     parser.add_argument("--n-save-ex", dest="n_save_ex", default=10, type=int)
-    parser.add_argument("--bucket-size", dest="bucket_size", default=16000, type=int)
+    parser.add_argument("--bucket-size", dest="bucket_size", default=4000, type=int)
     args, _ = parser.parse_known_args()
     with open(args.conf_dir) as f:
         def_conf = yaml.safe_load(f)

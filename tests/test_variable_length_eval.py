@@ -1,0 +1,54 @@
+"""Variable-length evaluation semantics: bucketed padding must not change
+the separated output on the unpadded span (the one engineered divergence
+from the reference's dynamic-shape eval, SURVEY.md §7)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtfs_net_tpu.models import AVNet
+from tests.test_system import TINY_AUDIONET
+
+
+def test_padded_inference_matches_exact_length(rng):
+    model = AVNet(**TINY_AUDIONET)
+    L = 3000
+    bucket = 2000
+    pad_L = -(-L // bucket) * bucket
+    mix = rng.standard_normal((1, L)).astype(np.float32)
+    mouth = rng.standard_normal((1, 16, 5)).astype(np.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.asarray(mix), jnp.asarray(mouth))
+
+    out_exact = np.asarray(model.apply(v, jnp.asarray(mix), jnp.asarray(mouth)))
+    mix_pad = np.pad(mix, ((0, 0), (0, pad_L - L)))
+    out_pad = np.asarray(model.apply(v, jnp.asarray(mix_pad), jnp.asarray(mouth)))
+
+    # zero-padding shifts the gLN global statistics, so agreement is high
+    # but not exact — measured ~18 dB at 33% padding on this tiny model.
+    # test.py defaults to fine-grained buckets (<= 12.5% padding typical)
+    # and supports --bucket-size 1 for exact-length eval.
+    a, b = out_exact[0, 0], out_pad[0, 0, :L]
+    snr = 10 * np.log10(np.sum(a ** 2) / (np.sum((a - b) ** 2) + 1e-12))
+    assert snr > 12, snr
+
+
+def test_bucket_reuse_compiles_once(rng):
+    """Same padded shape -> same compiled executable (no recompile storm
+    across a variable-length test set)."""
+    model = AVNet(**TINY_AUDIONET)
+    mouth = jnp.asarray(rng.standard_normal((1, 16, 5)).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000)), mouth)
+    fwd = jax.jit(lambda vv, m, mo: model.apply(vv, m, mo))
+    bucket = 2000
+    lengths = [1500, 1700, 1999, 2300, 3999]
+    n_shapes = set()
+    for L in lengths:
+        pad_L = -(-L // bucket) * bucket
+        n_shapes.add(pad_L)
+        mix = jnp.asarray(rng.standard_normal((1, pad_L)).astype(np.float32))
+        out = fwd(v, mix, mouth)
+        assert out.shape[-1] == pad_L
+    assert len(n_shapes) == 2  # 5 lengths -> 2 compiled shapes
+    # jax cache stats: one entry per shape
+    assert fwd._cache_size() == len(n_shapes)
