@@ -91,6 +91,34 @@ def _summary_value(tag: str, value: float) -> bytes:
     return _pb_string(1, inner)  # Summary.value (field 1, repeated)
 
 
+def _histogram_proto(values) -> bytes:
+    """HistogramProto wire encoding (min=1,max=2,num=3,sum=4,
+    sum_squares=5, bucket_limit=6 packed, bucket=7 packed)."""
+    import numpy as _np
+
+    v = _np.asarray(values, _np.float64).ravel()
+    if v.size == 0:
+        v = _np.zeros(1)
+    counts, edges = _np.histogram(v, bins=min(30, max(1, int(_np.sqrt(v.size)))))
+    out = b"".join([
+        _pb_double(1, float(v.min())),
+        _pb_double(2, float(v.max())),
+        _pb_double(3, float(v.size)),
+        _pb_double(4, float(v.sum())),
+        _pb_double(5, float((v * v).sum())),
+    ])
+    limits = b"".join(struct.pack("<d", float(e)) for e in edges[1:])
+    buckets = b"".join(struct.pack("<d", float(c)) for c in counts)
+    out += _key(6, 2) + _varint(len(limits)) + limits
+    out += _key(7, 2) + _varint(len(buckets)) + buckets
+    return out
+
+
+def _summary_histo(tag: str, values) -> bytes:
+    inner = _pb_string(1, tag.encode()) + _pb_string(5, _histogram_proto(values))
+    return _pb_string(1, inner)
+
+
 def _event(wall_time: float, step: int, body: bytes) -> bytes:
     return _pb_double(1, wall_time) + _pb_varint(2, step) + body
 
@@ -118,6 +146,10 @@ class EventWriter:
 
     def add_scalar(self, tag: str, value: float, step: int):
         body = _pb_string(5, _summary_value(tag, value))
+        self._write_event(_event(time.time(), step, body))
+
+    def add_histogram(self, tag: str, values, step: int):
+        body = _pb_string(5, _summary_histo(tag, values))
         self._write_event(_event(time.time(), step, body))
 
     def close(self):
@@ -150,6 +182,15 @@ class TensorBoardLogger:
         if self._writer is None:
             self._writer = EventWriter(self.log_dir)
         self._writer.add_scalar(tag, float(value), int(step))
+
+    def add_histogram(self, tag: str, values, step: int):
+        """Histogram logging (reference vendored logger exposes the same
+        helper, tensorboard.py)."""
+        if self.rank != 0:
+            return
+        if self._writer is None:
+            self._writer = EventWriter(self.log_dir)
+        self._writer.add_histogram(tag, values, int(step))
 
     def log_hyperparams(self, params: Dict):
         if self.rank != 0:

@@ -54,3 +54,28 @@ def test_rank_guard(tmp_path):
     logger.add_scalar("x", 1.0, 0)
     logger.log_hyperparams({"a": 1})
     assert not list(tmp_path.glob("**/events.*"))
+
+
+def test_histogram_event(tmp_path):
+    import struct
+    from tensorboard.compat.proto.event_pb2 import Event
+    from rtfs_net_tpu.system.tb_writer import TensorBoardLogger
+
+    logger = TensorBoardLogger(str(tmp_path), name="h")
+    vals = np.random.default_rng(0).standard_normal(1000)
+    logger.add_histogram("weights", vals, 3)
+    logger.finalize()
+    f = next((tmp_path / "h" / "version_0").glob("events.out.tfevents.*"))
+    raw = f.read_bytes()
+    events, off = [], 0
+    while off < len(raw):
+        (ln,) = struct.unpack("<Q", raw[off:off + 8]); off += 12
+        ev = Event(); ev.ParseFromString(raw[off:off + ln])
+        events.append(ev); off += ln + 4
+    histos = [v for ev in events if ev.HasField("summary")
+              for v in ev.summary.value if v.HasField("histo")]
+    assert len(histos) == 1
+    h = histos[0].histo
+    assert h.num == 1000
+    np.testing.assert_allclose(h.sum, vals.sum(), rtol=1e-6)
+    assert abs(sum(h.bucket) - 1000) < 1e-6
