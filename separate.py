@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Standalone separation CLI (reference equivalence: the ``separate()``
+inference helper, ``src/utils/separator.py:22-68``, as a user-facing tool).
+
+    python separate.py --model <exp_dir>/best_model.ckpt \\
+        --input mix.wav [--mouth mouth.npz] [--output out_dir/] \\
+        [--videonet-conf conf.yaml] [--bf16]
+
+Loads an exported model, separates one wav (optionally conditioned on a
+mouth-ROI npz through the frozen video backbone), rescales output energy
+to the input's and writes ``<stem>_s{i}.wav``.
+"""
+import argparse
+import os
+
+import numpy as np
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from rtfs_net_tpu.datas import wavio
+    from rtfs_net_tpu.datas.transform import get_preprocessing_pipelines
+    from rtfs_net_tpu.models import serialization
+    from rtfs_net_tpu.utils.separator import separate
+
+    model, variables, header = serialization.load_model(args.model)
+    wav, sr = wavio.read(args.input)
+    L = wav.shape[-1]
+    bucket = max(1, args.bucket_size)
+    pad_L = -(-L // bucket) * bucket
+    mix = jnp.asarray(np.pad(wav, (0, pad_L - L))[None])
+
+    mouth_emb = None
+    if args.mouth:
+        frames = np.load(args.mouth)["data"]
+        frames = get_preprocessing_pipelines()["val"](frames).astype(np.float32)
+        videonet = {}
+        if args.videonet_conf:
+            with open(args.videonet_conf) as f:
+                videonet = (yaml.safe_load(f) or {}).get("videonet", {})
+        if videonet.get("model_name"):
+            import dataclasses
+            from rtfs_net_tpu.models import videomodels
+            from rtfs_net_tpu.utils.torch_convert import load_video_backbone
+
+            cls = videomodels.get(videonet["model_name"])
+            fields = {f.name for f in dataclasses.fields(cls)}
+            vmodel = cls(**{k: v for k, v in videonet.items() if k in fields})
+            vvars = jax.jit(vmodel.init)(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, 1, 4, 88, 88)))
+            pretrain = videonet.get("pretrain")
+            if pretrain and os.path.exists(pretrain):
+                vvars = load_video_backbone(pretrain, vvars)
+            mouth_emb = vmodel.apply(vvars, jnp.asarray(frames[None, None]))
+        else:
+            raise SystemExit("--mouth given but no videonet config; pass "
+                             "--videonet-conf with a videonet: block")
+
+    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    fwd = jax.jit(lambda v, m, e: model.apply(
+        v, m.astype(dtype), None if e is None else e.astype(dtype)
+    ).astype(jnp.float32))
+    est = separate(lambda m: fwd(variables, m, mouth_emb), mix)
+    est = np.asarray(est)[0][:, :L]  # (n_src, L)
+
+    out_dir = args.output or os.path.dirname(os.path.abspath(args.input))
+    os.makedirs(out_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(args.input))[0]
+    for i in range(est.shape[0]):
+        path = os.path.join(out_dir, f"{stem}_s{i + 1}.wav")
+        wavio.write(path, est[i], sr)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", required=True, help="best_model.ckpt path")
+    p.add_argument("--input", required=True, help="mixture wav")
+    p.add_argument("--mouth", default=None, help="mouth-ROI npz of the target speaker")
+    p.add_argument("--videonet-conf", default=None,
+                   help="YAML with a videonet: block (e.g. the experiment conf.yaml)")
+    p.add_argument("--output", default=None, help="output dir")
+    p.add_argument("--bucket-size", type=int, default=4000)
+    p.add_argument("--bf16", action="store_true", help="serving precision")
+    main(p.parse_args())

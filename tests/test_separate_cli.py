@@ -1,0 +1,40 @@
+"""separate.py CLI: exported model separates a wav file end to end."""
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+from rtfs_net_tpu.datas import wavio
+from rtfs_net_tpu.models import AVNet, serialization
+from tests.test_system import TINY_AUDIONET
+
+
+def test_separate_cli(tmp_path, rng):
+    conf = {**TINY_AUDIONET}
+    conf["video_params"] = {}
+    conf["fusion_params"] = {}
+    model = AVNet(**conf)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000)), None)
+    ckpt = str(tmp_path / "best_model.ckpt")
+    serialization.save_model(ckpt, "AVNet", conf, v)
+
+    wav_path = str(tmp_path / "mix.wav")
+    wavio.write(wav_path, rng.standard_normal(3000).astype(np.float32) * 0.1, 16000)
+
+    import separate as cli
+
+    cli.main(argparse.Namespace(
+        model=ckpt, input=wav_path, mouth=None, videonet_conf=None,
+        output=str(tmp_path / "out"), bucket_size=2000, bf16=False,
+    ))
+    out = str(tmp_path / "out" / "mix_s1.wav")
+    assert os.path.exists(out)
+    data, sr = wavio.read(out)
+    assert sr == 16000 and data.shape[0] == 3000
+    assert np.isfinite(data).all()
