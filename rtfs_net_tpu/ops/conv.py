@@ -118,6 +118,10 @@ class Conv(nn.Module):
             x.shape, wshape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))
         )
         dtype = self.dtype or x.dtype
+        # request f32 accumulation only for f32 operands: jax's conv
+        # gradient rules reject mixed (bf16 in, f32 out) operand dtypes,
+        # and the TPU MXU accumulates bf16 in f32 internally anyway
+        pet = jnp.float32 if dtype == jnp.float32 else None
         y = lax.conv_general_dilated(
             x.astype(dtype),
             w.astype(dtype),
@@ -126,7 +130,7 @@ class Conv(nn.Module):
             rhs_dilation=dilation,
             dimension_numbers=dn,
             feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         if self.use_bias:
             b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
@@ -192,6 +196,7 @@ class ConvTranspose(nn.Module):
             x.shape, wt.shape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))
         )
         dtype = self.dtype or x.dtype
+        pet = jnp.float32 if dtype == jnp.float32 else None  # see Conv
         y = lax.conv_general_dilated(
             x.astype(dtype),
             wt.astype(dtype),
@@ -201,7 +206,7 @@ class ConvTranspose(nn.Module):
             rhs_dilation=dilation,
             dimension_numbers=dn,
             feature_group_count=g,
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pet,
         )
         if self.use_bias:
             b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))

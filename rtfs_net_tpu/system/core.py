@@ -43,6 +43,7 @@ class System:
         train_video_model: bool = False,
         grad_clip: float = 5.0,
         data_axis: Optional[str] = None,
+        compute_dtype=None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -51,6 +52,10 @@ class System:
         self.train_video_model = train_video_model
         self.grad_clip = grad_clip
         self.data_axis = data_axis
+        # mixed precision: params/grads/loss stay fp32, activations run in
+        # compute_dtype (e.g. jnp.bfloat16); the modules follow the input
+        # dtype and norms accumulate stats in fp32 internally
+        self.compute_dtype = compute_dtype
 
     # ---------------------------------------------------------------- init
     def init_state(self, rng, sample_mix, sample_mouth=None) -> TrainState:
@@ -80,6 +85,10 @@ class System:
 
     # --------------------------------------------------------------- steps
     def _forward(self, params, batch_stats, mix, mouths, train: bool, rng):
+        if self.compute_dtype is not None:
+            mix = mix.astype(self.compute_dtype)
+            if mouths is not None:
+                mouths = mouths.astype(self.compute_dtype)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
@@ -95,8 +104,9 @@ class System:
         )
         if mutable:
             est, updates = out
+            est = est.astype(jnp.float32)
             return est, updates.get("batch_stats", batch_stats)
-        return out, batch_stats
+        return out.astype(jnp.float32), batch_stats
 
     def train_step(self, state: TrainState, batch, rng) -> Tuple[TrainState, Dict]:
         mix, targets, mouths = batch

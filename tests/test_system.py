@@ -161,3 +161,31 @@ def test_online_mixing_collate(rng):
         np.asarray(jnp.sum(new_targets ** 2, -1)),
         np.asarray(jnp.sum(targets ** 2, -1)), rtol=1e-3,
     )
+
+
+def test_bf16_mixed_precision_training():
+    """compute_dtype=bfloat16: params stay fp32, loss finite, training
+    still improves."""
+    model = AVNet(**TINY_AUDIONET)
+    system = System(
+        model, make_optimizer("adamw", lr=2e-3, weight_decay=0.1),
+        {"train": PITLossWrapper(pairwise_neg_snr),
+         "val": PITLossWrapper(pairwise_neg_sisdr)},
+        compute_dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(7)
+    mix = jnp.asarray(rng.standard_normal((2, 2000)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((2, 16, 5)).astype(np.float32))
+    batch = (mix, mix[:, None], mouth)
+    state = system.init_state(jax.random.PRNGKey(0), mix, mouth)
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(state.params))
+    step = jax.jit(system.train_step)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(15):
+        key, sub = jax.random.split(key)
+        state, m = step(state, batch, sub)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(state.params))
