@@ -49,7 +49,7 @@ class _MixerFF(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         y = Linear(self.dim_in, self.dim_hidden, name="fc1")(x)
-        y = jax.nn.gelu(y)
+        y = jax.nn.gelu(y, approximate=False)  # torch nn.GELU default = exact erf
         if train and self.dropout > 0:
             y = nn.Dropout(self.dropout, deterministic=False)(y)
         y = Linear(self.dim_hidden, self.dim_in, name="fc2")(y)

@@ -39,7 +39,8 @@ class Tanh(nn.Module):
 class GELU(nn.Module):
     @nn.compact
     def __call__(self, x):
-        return jax.nn.gelu(x)
+        # torch nn.GELU default approximate='none' (exact erf)
+        return jax.nn.gelu(x, approximate=False)
 
 
 class SiLU(nn.Module):
