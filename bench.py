@@ -19,6 +19,9 @@ import numpy as np
 
 
 def main():
+    from rtfs_net_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import yaml

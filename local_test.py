@@ -42,6 +42,9 @@ class FakeAVSpeechDataset:
 
 
 def main(args):
+    from rtfs_net_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

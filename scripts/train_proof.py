@@ -13,6 +13,8 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 import numpy as np
+from rtfs_net_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
 import jax
 import jax.numpy as jnp
 import yaml

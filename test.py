@@ -25,6 +25,9 @@ import yaml
 
 
 def main(conf):
+    from rtfs_net_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 

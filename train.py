@@ -85,6 +85,9 @@ def build_video_apply(conf):
 
 
 def main(conf):
+    from rtfs_net_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax
     import jax.numpy as jnp
     import numpy as np
