@@ -156,6 +156,8 @@ def _sru_cols_to_ours(wt: np.ndarray, k: int, ndir: int, h: int) -> np.ndarray:
 def map_dual_path_rnn(w, sd, src, path, num_layers: int, hid: int,
                       bidirectional: bool):
     _map_norm(w, sd, f"{src}.norm", path + ("norm",), src)
+    if f"{src}.rnn.attention.in_proj_weight" in sd:  # rnn_type == "Attn"
+        map_mhsa(w, sd, f"{src}.rnn", path + ("rnn",))
     ndir = 2 if bidirectional else 1
     for l in range(num_layers):
         pre = f"{src}.rnn.rnn_lst.{l}"
@@ -188,26 +190,105 @@ def map_mhsa(w, sd, src, path):
 
 
 def map_mhsa2d(w, sd, src, path, n_head: int):
-    for h in range(n_head):
-        map_conv_act_norm(w, sd, f"{src}.Queries.{h}", path + (f"q{h}",))
-        map_conv_act_norm(w, sd, f"{src}.Keys.{h}", path + (f"k{h}",))
-        map_conv_act_norm(w, sd, f"{src}.Values.{h}", path + (f"v{h}",))
+    """Pack the reference's 3×n_head per-head 1×1 ConvActNorms
+    (``attention.py:156-158``) into our fused layout: one qkv conv
+    ([all Q heads][all K][all V] along out-channels), stacked PReLU
+    alphas (H,), stacked LN4D affines (H, chan, 1, F)."""
+    def head_parts(group):
+        weights, biases, alphas, gammas, betas = [], [], [], [], []
+        for h in range(n_head):
+            pre = f"{src}.{group}.{h}"
+            weights.append(np.asarray(sd[f"{pre}.conv.weight"]))
+            biases.append(np.asarray(sd[f"{pre}.conv.bias"]))
+            alphas.append(np.asarray(sd[f"{pre}.act.weight"]).reshape(()))
+            gammas.append(np.asarray(sd[f"{pre}.norm.gamma"])[0])  # (C,1,F)
+            betas.append(np.asarray(sd[f"{pre}.norm.beta"])[0])
+        return (np.concatenate(weights, 0), np.concatenate(biases, 0),
+                np.stack(alphas), np.stack(gammas), np.stack(betas))
+
+    qw, qb, qa, qg, qbeta = head_parts("Queries")
+    kw, kb, ka, kg, kbeta = head_parts("Keys")
+    vw, vb, va, vg, vbeta = head_parts("Values")
+    w.put("params", path + ("qkv_conv", "weight"),
+          np.concatenate([qw, kw, vw], 0), f"{src}.Queries/Keys/Values")
+    w.put("params", path + ("qkv_conv", "bias"),
+          np.concatenate([qb, kb, vb], 0), f"{src}.Queries/Keys/Values")
+    for name, alpha, gamma, beta in (("q", qa, qg, qbeta),
+                                     ("k", ka, kg, kbeta),
+                                     ("v", va, vg, vbeta)):
+        w.put("params", path + (f"{name}_alpha",), alpha, src)
+        w.put("params", path + (f"{name}_scale",), gamma, src)
+        w.put("params", path + (f"{name}_bias",), beta, src)
     map_conv_act_norm(w, sd, f"{src}.attn_concat_proj",
                       path + ("attn_concat_proj",))
 
 
+def map_ffn(w, sd, src, path):
+    """FeedForwardNetwork (encoder/refiner/decoder) or ConvolutionalRNN
+    (encoder/forward_pass/backward_pass/decoder) -> our auto-named
+    ConvNormAct_{i} children, in instantiation order."""
+    if f"{src}.refiner.full_layer.2.weight" in sd:  # FeedForwardNetwork
+        ref_names = ("encoder", "refiner", "decoder")
+    else:  # ConvolutionalRNN
+        ref_names = ("encoder", "forward_pass", "backward_pass", "decoder")
+    for i, ref_name in enumerate(ref_names):
+        map_conv_norm_act(w, sd, f"{src}.{ref_name}",
+                          path + (f"ConvNormAct_{i}",))
+
+
 def map_global_attention(w, sd, src, path):
     map_mhsa(w, sd, f"{src}.MHSA", path + ("MHSA",))
-    # FFN = FeedForwardNetwork(encoder, refiner, decoder ConvNormActs)
-    for ref_name, ours in (("encoder", "ConvNormAct_0"),
-                           ("refiner", "ConvNormAct_1"),
-                           ("decoder", "ConvNormAct_2")):
-        map_conv_norm_act(w, sd, f"{src}.FFN.{ref_name}",
-                          path + ("FFN", ours))
+    map_ffn(w, sd, f"{src}.FFN", path + ("FFN",))
+
+
+def map_rnn_projection(w, sd, src, path):
+    """RNNProjection (reference rnn_layers.py:12-59): LN -> cuDNN RNN ->
+    Sequential(PReLU, Dropout, Linear, Dropout) -> LN."""
+    _map_norm(w, sd, f"{src}.norm1", path + ("norm1",), src)
+    _map_norm(w, sd, f"{src}.norm2", path + ("norm2",), src)
+    for key in list(sd):
+        m = re.match(re.escape(src) + r"\.rnn\.(weight_[ih]h_l\d+(?:_reverse)?|"
+                     r"bias_[ih]h_l\d+(?:_reverse)?)$", key)
+        if m:
+            w.put("params", path + ("rnn", m.group(1)), sd[key], key)
+    w.put("params", path + ("prelu", "alpha"), sd[f"{src}.proj.0.weight"], src)
+    w.put("params", path + ("proj", "weight"), sd[f"{src}.proj.2.weight"], src)
+    w.put("params", path + ("proj", "bias"), sd[f"{src}.proj.2.bias"], src)
+
+
+def map_global_attention_rnn(w, sd, src, path):
+    map_rnn_projection(w, sd, f"{src}.RNN", path + ("RNN",))
+
+
+def map_global_galr(w, sd, src, path):
+    """GlobalGALR (reference rnn_layers.py:329-379): time RNNProjection +
+    freq MHSA/FFN, optional group FFN."""
+    map_rnn_projection(w, sd, f"{src}.time_RNN", path + ("time_RNN",))
+    map_mhsa(w, sd, f"{src}.freq_MHSA", path + ("freq_MHSA",))
+    map_ffn(w, sd, f"{src}.freq_FFN", path + ("freq_FFN",))
+    if f"{src}.group_FFN.encoder.full_layer.2.weight" in sd:
+        map_ffn(w, sd, f"{src}.group_FFN", path + ("group_FFN",))
+
+
+def map_global_attention_2d(w, sd, src, path):
+    """GlobalAttention2D (reference attention.py:223-280): time/freq MHSA,
+    optional per-axis FFNs, one group_FFN shared across both applications."""
+    for name in ("time_MHSA", "freq_MHSA"):
+        map_mhsa(w, sd, f"{src}.{name}", path + (name,))
+    for name in ("time_FFN", "freq_FFN", "group_FFN"):
+        if f"{src}.{name}.encoder.full_layer.2.weight" in sd:
+            map_ffn(w, sd, f"{src}.{name}", path + (name,))
 
 
 def map_attn_fusion_cell(w, sd, src, path):
     for name in ("key_embed", "value_embed", "attention_embed", "resize"):
+        map_conv_norm_act(w, sd, f"{src}.{name}", path + (name,))
+
+
+def map_conv_rnn_fusion_cell(w, sd, src, path):
+    """ConvLSTMFusionCell / ConvGRUFusionCell: two gate ConvNormActs
+    (reference layers/fusion.py:82-96,149-163)."""
+    for name in ("conv_a", "conv_b"):
         map_conv_norm_act(w, sd, f"{src}.{name}", path + (name,))
 
 
@@ -224,6 +305,12 @@ def map_tdanet_block(w, sd, src, path, conf):
     for i in range(depth - 1):
         map_injection_multi_sum(w, sd, f"{src}.concat_layers.{i}",
                                 path + (f"concat{i}",))
+    _map_globalatt(w, sd, src, path, conf)
+    map_conv_norm_act(w, sd, f"{src}.residual_conv", path + ("residual_conv",))
+
+
+def _map_globalatt(w, sd, src, path, conf):
+    """Map a config-built ``globalatt`` Sequential (TDANet/DPTNet blocks)."""
     for j, (lname, lconf) in enumerate((conf.get("layers") or {}).items()):
         lsrc = f"{src}.globalatt.{j}"
         lpath = path + (f"globalatt{j}",)
@@ -235,8 +322,26 @@ def map_tdanet_block(w, sd, src, path, conf):
             map_mhsa2d(w, sd, lsrc, lpath, lconf.get("n_head", 4))
         elif lt == "GlobalAttention":
             map_global_attention(w, sd, lsrc, lpath)
+        elif lt == "GlobalAttention2D":
+            map_global_attention_2d(w, sd, lsrc, lpath)
+        elif lt == "MultiHeadSelfAttention":
+            map_mhsa(w, sd, lsrc, lpath)
+        elif lt in ("FeedForwardNetwork", "ConvolutionalRNN"):
+            map_ffn(w, sd, lsrc, lpath)
+        elif lt == "GlobalAttentionRNN":
+            map_global_attention_rnn(w, sd, lsrc, lpath)
+        elif lt == "GlobalGALR":
+            map_global_galr(w, sd, lsrc, lpath)
         else:
             raise ConversionError(f"unsupported globalatt layer_type {lt}")
+
+
+def map_dpt_block(w, sd, src, path, conf):
+    """DPTNetBlock (reference separators/dpt.py:7-49): gateway/projection
+    convs around the config-built globalatt stack."""
+    map_conv_norm_act(w, sd, f"{src}.gateway", path + ("gateway",))
+    map_conv_norm_act(w, sd, f"{src}.projection", path + ("projection",))
+    _map_globalatt(w, sd, src, path, conf)
     map_conv_norm_act(w, sd, f"{src}.residual_conv", path + ("residual_conv",))
 
 
@@ -262,7 +367,8 @@ def map_separator(w, sd, src, path, params: Dict[str, Any], which: str):
     net = params.get(f"{which}_net")
     if not net:
         return
-    mapper = {"TDANet": map_tdanet_block, "FRCNN": map_frcnn_block}[net]
+    mapper = {"TDANet": map_tdanet_block, "FRCNN": map_frcnn_block,
+              "DPTNet": map_dpt_block}[net]
     if params.get("shared", False):
         mapper(w, sd, f"{src}.blocks", path + ("blocks",), params)
     else:
@@ -276,8 +382,10 @@ def map_fusion(w, sd, src, path, fusion_params, fusion_repeats: int):
     shared = fusion_params.get("fusion_shared", False)
 
     def one(fsrc, fpath):
+        # reference naming quirk: LSTM/GRU/ATTN fusion all name their cells
+        # audio_lstm/video_lstm (TDAVNet/fusion.py:120-212); the video-side
+        # module only exists when video_fusion=True (not the last repeat)
         if ftype == "ATTNFusion":
-            # reference names the cells audio_lstm/video_lstm
             map_attn_fusion_cell(w, sd, f"{fsrc}.audio_lstm",
                                  fpath + ("audio_attn",))
             if f"{fsrc}.video_lstm.resize.full_layer.2.weight" in sd:
@@ -287,6 +395,27 @@ def map_fusion(w, sd, src, path, fusion_params, fusion_repeats: int):
             map_conv_norm_act(w, sd, f"{fsrc}.audio_conv", fpath + ("audio_conv",))
             if f"{fsrc}.video_conv.full_layer.2.weight" in sd:
                 map_conv_norm_act(w, sd, f"{fsrc}.video_conv", fpath + ("video_conv",))
+        elif ftype == "SumFusion":
+            # SumFusion swaps names: video_conv maps video->audio (always
+            # present), audio_conv maps audio->video (video_fusion only)
+            map_conv_norm_act(w, sd, f"{fsrc}.video_conv", fpath + ("video_conv",))
+            if f"{fsrc}.audio_conv.full_layer.2.weight" in sd:
+                map_conv_norm_act(w, sd, f"{fsrc}.audio_conv", fpath + ("audio_conv",))
+        elif ftype == "InjectionFusion":
+            map_conv_norm_act(w, sd, f"{fsrc}.video_conv", fpath + ("video_conv",))
+            map_injection_multi_sum(w, sd, f"{fsrc}.audio_inj",
+                                    fpath + ("audio_inj",))
+            if f"{fsrc}.audio_conv.full_layer.2.weight" in sd:
+                map_conv_norm_act(w, sd, f"{fsrc}.audio_conv", fpath + ("audio_conv",))
+                map_injection_multi_sum(w, sd, f"{fsrc}.video_inj",
+                                        fpath + ("video_inj",))
+        elif ftype in ("LSTMFusion", "GRUFusion"):
+            ours = "lstm" if ftype == "LSTMFusion" else "gru"
+            map_conv_rnn_fusion_cell(w, sd, f"{fsrc}.audio_lstm",
+                                     fpath + (f"audio_{ours}",))
+            if f"{fsrc}.video_lstm.conv_a.full_layer.2.weight" in sd:
+                map_conv_rnn_fusion_cell(w, sd, f"{fsrc}.video_lstm",
+                                         fpath + (f"video_{ours}",))
         else:
             raise ConversionError(f"fusion_type {ftype} conversion not implemented")
 
@@ -330,18 +459,30 @@ def convert_avnet(sd: Dict[str, np.ndarray], variables, audionet_conf) -> Dict:
                vp.get("repeats", 0))
 
     mg = audionet_conf.get("mask_generation_params", {})
-    if not mg.get("direct", False):
-        if mg.get("mask_generator_type", "MaskGenerator") == "MaskGenerator":
-            w.put("params", ("mask_generator", "prelu", "alpha"),
-                  sd["mask_generator.mask_generator.0.weight"],
-                  "mask_generator.0")
-            map_conv_norm_act(w, sd, "mask_generator.mask_generator.1",
-                              ("mask_generator", "mask_conv"))
-            if mg.get("output_gate", False):
-                map_conv_norm_act(w, sd, "mask_generator.output",
-                                  ("mask_generator", "output"))
-                map_conv_norm_act(w, sd, "mask_generator.gate",
-                                  ("mask_generator", "gate"))
+    mg_type = mg.get("mask_generator_type", "MaskGenerator")
+    if mg_type == "MaskGenerator" and not mg.get("direct", False):
+        w.put("params", ("mask_generator", "prelu", "alpha"),
+              sd["mask_generator.mask_generator.0.weight"],
+              "mask_generator.0")
+        map_conv_norm_act(w, sd, "mask_generator.mask_generator.1",
+                          ("mask_generator", "mask_conv"))
+        if mg.get("output_gate", False):
+            map_conv_norm_act(w, sd, "mask_generator.output",
+                              ("mask_generator", "output"))
+            map_conv_norm_act(w, sd, "mask_generator.gate",
+                              ("mask_generator", "gate"))
+    elif mg_type == "MaskGenerator2Chan":
+        # Sequential(PReLU, ConvTranspose2d, act) — mask_generator.py:132-143
+        w.put("params", ("mask_generator", "prelu", "alpha"),
+              sd["mask_generator.mask_generator.0.weight"],
+              "mask_generator.0")
+        _map_conv_leaf(w, sd, "mask_generator.mask_generator.1",
+                       ("mask_generator", "deconv"))
+        if mg.get("output_gate", False):
+            map_conv_norm_act(w, sd, "mask_generator.output",
+                              ("mask_generator", "output"))
+            map_conv_norm_act(w, sd, "mask_generator.gate",
+                              ("mask_generator", "gate"))
 
     if "decoder.decoder.weight" in sd:
         _map_conv_leaf(w, sd, "decoder.decoder", ("decoder", "decoder"))

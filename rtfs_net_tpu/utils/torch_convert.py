@@ -43,14 +43,23 @@ def load_video_backbone(path: str, variables) -> Dict[str, Any]:
     """Map the CTCNet backbone .pth.tar onto FRCNNVideoModel variables
     (resnet backbone). Returns new variables; raises if a mapped key's
     shape mismatches."""
-    sd = _load_torch_state_dict(path)
+    return convert_video_backbone(_load_torch_state_dict(path), variables)
+
+
+def convert_video_backbone(sd: Dict[str, np.ndarray], variables,
+                           backbone_type: str = "resnet") -> Dict[str, Any]:
+    """Map a reference FRCNNVideoModel state dict (in memory) onto our
+    FRCNNVideoModel variables. Handles the resnet and shufflenet trunks
+    (reference ``frcnn_videomodel.py:28-39``)."""
     params = {k: v for k, v in _tree_copy(variables["params"]).items()}
     stats = _tree_copy(variables.get("batch_stats", {}))
 
+    key_map = (_video_key_map if backbone_type == "resnet"
+               else _shufflenet_key_map)
     for key, val in sd.items():
-        if key.startswith("tcn"):
+        if key.startswith("tcn") or key.endswith("num_batches_tracked"):
             continue
-        path_map = _video_key_map(key)
+        path_map = key_map(key)
         if path_map is None:
             continue
         collection, fpath = path_map
@@ -126,6 +135,63 @@ def _video_key_map(key: str):
             return None
         coll, p = hit
         return coll, ("trunk",) + p
+    return None
+
+
+def _bn_leaf(base, leaf):
+    return {
+        "weight": ("params", base + ("bn", "scale")),
+        "bias": ("params", base + ("bn", "bias")),
+        "running_mean": ("batch_stats", base + ("bn", "mean")),
+        "running_var": ("batch_stats", base + ("bn", "var")),
+    }.get(leaf)
+
+
+def _shufflenet_key_map(key: str):
+    """Reference shufflenet trunk = Sequential(features, conv_last,
+    globalpool) (``frcnn_videomodel.py:35-37``); torch keys
+    ``trunk.0.{idx}.banch{1,2}.{i}.*`` / ``trunk.1.{0,1}.*`` map onto our
+    ``trunk/features{idx}/b*`` / ``trunk/conv_last`` modules.
+
+    Sequential index -> sub-block (shufflenetv2.py:46-84):
+      banch1: 0 dw-conv, 1 bn, 2 pw-linear conv, 3 bn
+      banch2: 0 pw conv, 1 bn, 3 dw conv, 4 bn, 5 pw-linear conv, 6 bn
+    """
+    if key.startswith("frontend3D"):
+        return _video_key_map(key)
+    m = re.match(r"trunk\.0\.(\d+)\.banch(\d)\.(\d+)\.(.+)", key)
+    if m:
+        idx, branch, i, leaf = (int(m.group(1)), int(m.group(2)),
+                                int(m.group(3)), m.group(4))
+        if branch == 1:
+            sub = {0: "b1_dw", 1: "b1_dw", 2: "b1_pwl", 3: "b1_pwl"}.get(i)
+            conv_indices = (0, 2)
+        else:
+            sub = {0: "b2_pw", 1: "b2_pw", 3: "b2_dw", 4: "b2_dw",
+                   5: "b2_pwl", 6: "b2_pwl"}.get(i)
+            conv_indices = (0, 3, 5)
+        if sub is None:
+            return None
+        base = ("trunk", f"features{idx}", sub)
+        if leaf == "weight" and i in conv_indices:
+            return "params", base + ("conv", "weight")
+        hit = _bn_leaf((), leaf)
+        if hit is None:
+            return None
+        coll, p = hit
+        return coll, base + p[-2:]
+    m = re.match(r"trunk\.1\.(\d+)\.(.+)", key)
+    if m:
+        i, leaf = int(m.group(1)), m.group(2)
+        base = ("trunk", "conv_last")
+        if i == 0 and leaf == "weight":
+            return "params", base + ("conv", "weight")
+        if i == 1:
+            hit = _bn_leaf((), leaf)
+            if hit is None:
+                return None
+            coll, p = hit
+            return coll, base + p[-2:]
     return None
 
 
