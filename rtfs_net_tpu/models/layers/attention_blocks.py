@@ -91,9 +91,13 @@ class MultiHeadSelfAttention(nn.Module):
         y = jnp.swapaxes(x, 1, 2) if self.batch_first else x  # (B,T,C) / (L,B,C)
         y = LayerNorm(self.in_chan, name="norm1")(y)
         if self.positional_encoding:
-            L = y.shape[1] if self.batch_first else y.shape[0]
-            pe = jnp.asarray(positional_encoding(L, self.in_chan), y.dtype)
-            y = y + (pe[None] if self.batch_first else pe[:, None])
+            # reference attention.py:24 indexes pe by x.size(1) regardless of
+            # batch_first — for (L, B, C) inputs the PE is applied along the
+            # BATCH axis (a reference quirk, replicated for parity; hit by
+            # DualPathRNN rnn_type=Attn which passes batch_first=False)
+            pe = jnp.asarray(positional_encoding(y.shape[1], self.in_chan),
+                             y.dtype)
+            y = y + pe[None]
         residual = y
         y = TorchMultiheadAttention(
             self.in_chan, self.n_head, self.dropout, batch_first=self.batch_first,
@@ -109,10 +113,20 @@ class MultiHeadSelfAttention(nn.Module):
 
 
 class MultiHeadSelfAttention2D(nn.Module):
-    """RTFS TF-attention over (B, C, T, F): per-head 1x1 ConvActNorm Q/K/V,
+    """RTFS TF-attention over (B, C, T, F): fused Q/K/V head projections,
     heads folded into batch, attention over T with E·F-dim keys
     (reference ``attention.py:76-189``). ``dim=4`` transposes T<->F so the
-    same block attends over frequency."""
+    same block attends over frequency.
+
+    TPU-first redesign of the reference's 3×n_head separate 1×1
+    ConvActNorms (``attention.py:156-158``): ONE 1×1 conv produces every
+    head's Q, K and V in a single MXU matmul; the per-head PReLU alphas
+    and LayerNormalization4D affines are stacked along a leading head axis
+    and applied batched (numerically identical — LN4D statistics are per
+    (head, sample, frame) either way). The checkpoint converter
+    (``utils/avnet_convert.map_mhsa2d``) packs the reference's per-head
+    weights into this fused layout.
+    """
 
     in_chan: int
     n_freqs: int
@@ -128,37 +142,64 @@ class MultiHeadSelfAttention2D(nn.Module):
             x = jnp.swapaxes(x, -2, -1)
         B, C, T, F = x.shape
         residual = x
+        H, E, Cv = self.n_head, self.hid_chan, C // self.n_head
+        if self.norm_type not in ("LayerNormalization4D", None):
+            raise NotImplementedError(
+                f"fused MHSA2D supports LayerNormalization4D, got {self.norm_type}")
 
-        def head_proj(out_chan, name, i):
-            return ConvActNorm(
-                in_chan=self.in_chan, out_chan=out_chan, kernel_size=1,
-                act_type=self.act_type, norm_type=self.norm_type,
-                n_freqs=self.n_freqs, is2d=True, name=f"{name}{i}",
-            )
+        qkv = Conv(self.in_chan, H * (2 * E + Cv), 1, ndim=2,
+                   name="qkv_conv")(x)  # (B, H*(2E+Cv), T, F)
+        q, k, v = jnp.split(qkv, [H * E, 2 * H * E], axis=1)
+        # heads folded into batch (row order b*H+h): plain reshapes, and
+        # all norm reduces stay the proven 4-D LN4D pattern (dims (1,3))
+        q = q.reshape(B * H, E, T, F)
+        k = k.reshape(B * H, E, T, F)
+        v = v.reshape(B * H, Cv, T, F)
+        # the TPU AOT compiler (libtpu 2026-08 era) miscompiles the fused
+        # conv -> channel-slice -> (B*H) reshape -> reduce pattern
+        # ("Expected instruction to have shape..." post-optimization
+        # verifier failure); a barrier here blocks that fusion. No-op on
+        # CPU, negligible on TPU (the qkv activation is materialized once).
+        q, k, v = jax.lax.optimization_barrier((q, k, v))
 
-        Q = jnp.concatenate(
-            [head_proj(self.hid_chan, "q", i)(x, train) for i in range(self.n_head)], axis=0
-        )  # (B*n_head, E, T, F)
-        K = jnp.concatenate(
-            [head_proj(self.hid_chan, "k", i)(x, train) for i in range(self.n_head)], axis=0
-        )
-        V = jnp.concatenate(
-            [head_proj(C // self.n_head, "v", i)(x, train) for i in range(self.n_head)], axis=0
-        )  # (B*n_head, C/n_head, T, F)
+        def act_norm(y, name, chan):
+            # per-head PReLU (scalar alpha each, torch default) + per-head
+            # LN4D over (chan, F) dims; head-indexed params are tiled over
+            # the batch (tile matches the b*H+h row order)
+            if self.act_type == "PReLU":
+                alpha = self.param(f"{name}_alpha",
+                                   nn.initializers.constant(0.25), (H,))
+                a = jnp.tile(alpha, (B,)).reshape(B * H, 1, 1, 1).astype(y.dtype)
+                y = jnp.where(y >= 0, y, a * y)
+            elif self.act_type is not None:
+                from ...ops import activations as _acts
 
-        Qf = Q.transpose(0, 2, 1, 3).reshape(B * self.n_head, T, -1)  # (B', T, E*F)
-        Kf = K.transpose(0, 2, 1, 3).reshape(B * self.n_head, T, -1)
-        Vt = V.transpose(0, 2, 1, 3)  # (B', T, C/nh, F)
-        old_shape = Vt.shape
-        Vf = Vt.reshape(B * self.n_head, T, -1)
-        emb_dim = Qf.shape[-1]
+                y = _acts.get(self.act_type)()(y)
+            yf = y.astype(jnp.float32)
+            mu = yf.mean(axis=(1, 3), keepdims=True)
+            var = yf.var(axis=(1, 3), keepdims=True)
+            yf = (yf - mu) / jnp.sqrt(var + 1e-5)
+            gamma = self.param(f"{name}_scale", nn.initializers.ones,
+                               (H, chan, 1, self.n_freqs))
+            beta = self.param(f"{name}_bias", nn.initializers.zeros,
+                              (H, chan, 1, self.n_freqs))
+            gamma = jnp.tile(gamma, (B, 1, 1, 1))
+            beta = jnp.tile(beta, (B, 1, 1, 1))
+            return (yf * gamma + beta).astype(y.dtype)
 
-        logits = jnp.einsum("btd,bsd->bts", Qf, Kf) / math.sqrt(emb_dim)
+        q = act_norm(q, "q", E)
+        k = act_norm(k, "k", E)
+        v = act_norm(v, "v", Cv)
+
+        # attention over T with (E*F)-dim keys, heads in batch
+        qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, E * F)
+        kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, E * F)
+        vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, Cv * F)
+        logits = jnp.einsum("btd,bsd->bts", qf, kf) / math.sqrt(E * F)
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bts,bsd->btd", attn, Vf).reshape(old_shape)
-        out = out.transpose(0, 2, 1, 3)  # (B', C/nh, T, F)
-        out = out.reshape(self.n_head, B, C // self.n_head, T, F)
-        out = out.transpose(1, 0, 2, 3, 4).reshape(B, C, T, F)
+        out = jnp.einsum("bts,bsd->btd", attn, vf)
+        out = out.reshape(B * H, T, Cv, F).transpose(0, 2, 1, 3)
+        out = out.reshape(B, C, T, F)
 
         out = ConvActNorm(
             in_chan=self.in_chan, out_chan=self.in_chan, kernel_size=1,
@@ -218,6 +259,11 @@ class GlobalAttention2D(nn.Module):
 
         hid = self.hid_chan if self.hid_chan is not None else 2 * self.in_chan
         B, C, H, W = x.shape
+        # reference attention.py:253-254,273,280: ONE group_FFN module shared
+        # between both applications
+        group = (get_ffn("FeedForwardNetwork")(
+            self.in_chan, hid, self.kernel_size, dropout=self.dropout,
+            is2d=True, name="group_FFN") if self.group_ffn else None)
 
         y = x.transpose(0, 3, 1, 2).reshape(B * W, C, H)
         y = MultiHeadSelfAttention(self.in_chan, self.n_head, self.dropout, self.pos_enc, name="time_MHSA")(y, train)
@@ -225,8 +271,8 @@ class GlobalAttention2D(nn.Module):
             y = get_ffn(self.ffn_name)(self.in_chan, hid, self.kernel_size, dropout=self.dropout, name="time_FFN")(y, train)
         y = y.reshape(B, W, C, H).transpose(0, 2, 3, 1)
 
-        if self.group_ffn:
-            y = get_ffn("FeedForwardNetwork")(self.in_chan, hid, self.kernel_size, dropout=self.dropout, is2d=True, name="group_FFN")(y, train)
+        if group is not None:
+            y = group(y, train)
 
         z = y.transpose(0, 2, 1, 3).reshape(B * H, C, W)
         z = MultiHeadSelfAttention(self.in_chan, self.n_head, self.dropout, self.pos_enc, name="freq_MHSA")(z, train)
@@ -234,8 +280,8 @@ class GlobalAttention2D(nn.Module):
             z = get_ffn(self.ffn_name)(self.in_chan, hid, self.kernel_size, dropout=self.dropout, name="freq_FFN")(z, train)
         z = z.reshape(B, H, C, W).transpose(0, 2, 1, 3)
 
-        if self.group_ffn:
-            z = get_ffn("FeedForwardNetwork")(self.in_chan, hid, self.kernel_size, dropout=self.dropout, is2d=True, name="group_FFN2")(z, train)
+        if group is not None:
+            z = group(z, train)
         return z
 
 
