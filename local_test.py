@@ -71,17 +71,18 @@ def main(args):
         print(model_macs_report(model, variables, mix, mouth_emb0))
         return
 
-    # frozen random video backbone (no pretrain in the smoke test)
+    # frozen random video backbone (no pretrain in the smoke test);
+    # variables ride in TrainState rather than being baked into the jit
     vmodel = videomodels.FRCNNVideoModel(backbone_type="resnet", relu_type="prelu")
     vvars = jax.jit(vmodel.init)(jax.random.PRNGKey(1), jnp.zeros((1, 1, 4, 88, 88)))
-    video_apply = lambda m: vmodel.apply(vvars, m)
 
     system = System(
         model,
         make_optimizer(**conf["optim"]),
         {"train": PITLossWrapper(pairwise_neg_snr),
          "val": PITLossWrapper(pairwise_neg_sisdr)},
-        video_apply=video_apply,
+        video_model=vmodel,
+        video_variables=vvars,
     )
 
     train_loader = DataLoader(FakeAVSpeechDataset(args.items), args.batch_size,

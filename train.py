@@ -49,9 +49,11 @@ def build_dataloaders(conf):
     return train_loader, val_loader
 
 
-def build_video_apply(conf):
-    """Construct the frozen video backbone and return (apply_fn, n_params).
-    Returns (None, 0) for audio-only runs."""
+def build_video_model(conf):
+    """Construct the pretrained video backbone. Returns
+    (model, variables, n_params); (None, None, 0) for audio-only runs.
+    The variables ride in TrainState (not baked into the jitted step) so
+    ``train_video_model=True`` can update them and compiles stay small."""
     import jax
     import jax.numpy as jnp
     from rtfs_net_tpu.models import videomodels
@@ -59,7 +61,7 @@ def build_video_apply(conf):
     videonet = conf.get("videonet") or {}
     name = videonet.get("model_name")
     if not name or conf["main_args"].get("audio_only", False):
-        return None, 0
+        return None, None, 0
     cls = videomodels.get(name)
     model = cls(**{k: v for k, v in videonet.items()
                    if k in {f.name for f in __import__("dataclasses").fields(cls)}})
@@ -75,13 +77,8 @@ def build_video_apply(conf):
         print(f"WARNING: pretrain path {pretrain} not found; using random "
               "(frozen) video backbone weights")
 
-    def video_apply(mouths):
-        # (B, 1, T, H, W) float mouths -> (B, C, T)
-        return model.apply(variables, mouths)
-
-    import jax as _jax
-    n = sum(int(x.size) for x in _jax.tree.leaves(variables["params"]))
-    return video_apply, n
+    n = sum(int(x.size) for x in jax.tree.leaves(variables["params"]))
+    return model, variables, n
 
 
 def main(conf):
@@ -97,7 +94,7 @@ def main(conf):
 
     train_loader, val_loader = build_dataloaders(conf)
 
-    video_apply, v_params = build_video_apply(conf)
+    video_model, video_vars, v_params = build_video_model(conf)
     model = AVNet(**conf["audionet"])
     optimizer = make_optimizer(**conf["optim"])
 
@@ -110,8 +107,11 @@ def main(conf):
         "train": PITLossWrapper(pairwise_neg_snr, pit_from="pw_mtx"),
         "val": PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx"),
     }
-    system = System(model, optimizer, loss_func, video_apply=video_apply,
-                    train_video_model=conf["main_args"].get("train_video_model", False))
+    system = System(model, optimizer, loss_func, video_model=video_model,
+                    video_variables=video_vars,
+                    train_video_model=conf["main_args"].get("train_video_model", False),
+                    accum_steps=int(conf["training"].get("accum_steps")
+                                    or conf["main_args"].get("accum_steps") or 1))
 
     # init from one sample batch
     sample = next(iter(val_loader))
@@ -119,7 +119,6 @@ def main(conf):
     mouth = None
     if len(sample) > 2 and isinstance(sample[2], np.ndarray):
         mouth = jnp.asarray(sample[2][:1])
-    mouth_emb = system.mouth_embedding(mouth) if mouth is not None else None
     state = system.init_state(jax.random.PRNGKey(0), mix, mouth)
 
     trainer = Trainer(
@@ -147,6 +146,16 @@ if __name__ == "__main__":
                         help="Checkpoint name to resume from")
     parser.add_argument("--audio-only", dest="audio_only", default=False,
                         type=bool, help="Train without the video branch")
+    parser.add_argument("--train-video-model", dest="train_video_model",
+                        default=False, type=bool,
+                        help="Unfreeze and train the video backbone "
+                             "(BN stats stay frozen, matching the reference)")
+    parser.add_argument("--accum-steps", dest="accum_steps", default=1,
+                        type=int,
+                        help="Microbatch gradient-accumulation factor: the "
+                             "per-chip batch runs as this many sequential "
+                             "microbatches inside one step (trades step "
+                             "latency for peak HBM)")
     args, _ = parser.parse_known_args()
     with open(args.conf_dir) as f:
         def_conf = yaml.safe_load(f)
