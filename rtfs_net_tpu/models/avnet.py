@@ -35,6 +35,8 @@ class AVNet(nn.Module):
     video_bn_params: Optional[Dict[str, Any]] = None
     video_params: Optional[Dict[str, Any]] = None
     fusion_params: Optional[Dict[str, Any]] = None
+    # scan-lower the weight-shared audio repeat tail (see RefinementModule)
+    scan_shared_repeats: bool = True
 
     def setup(self):
         video_bn_params = self.video_bn_params or {}
@@ -66,6 +68,7 @@ class AVNet(nn.Module):
             video_params=video_params,
             audio_bn_chan=self.audio_bn_chan,
             video_bn_chan=self.video_bn_chan,
+            scan_shared_repeats=self.scan_shared_repeats,
         )
 
         mg_cls = mask_gen_mod.get(

@@ -4,6 +4,14 @@ Orchestrates the repeat schedule: ``fusion_repeats`` iterations interleave
 the audio block, the video block and cross-modal fusion (with residual
 re-injection ``x + residual`` for i > 0), then ``audio_repeats -
 fusion_repeats`` audio-only iterations.
+
+When the audio separator is weight-shared (``shared=True`` — every active
+RTFS/CTCNet config), the audio-only tail is lowered to ONE ``nn.scan``
+over the repeat count instead of trace-time unrolling: RTFS-12's 11
+recursion steps (or CTCNet-16's 15) trace and compile a single block, so
+compile time and executable size stay constant in ``repeats``
+(SURVEY.md §7). Numerics are unchanged (same params each step); see
+``tests/test_scan_repeats.py``.
 """
 from __future__ import annotations
 
@@ -21,6 +29,10 @@ class RefinementModule(nn.Module):
     audio_bn_chan: int
     video_bn_chan: int
     fusion_params: Dict[str, Any]
+    # lower the weight-shared audio-only tail to one lax.scan iteration
+    # (compile time / executable size constant in `repeats`); numerics
+    # are identical to unrolling — disable only for A/B debugging
+    scan_shared_repeats: bool = True
 
     def setup(self):
         self.fusion_repeats = self.video_params.get("repeats", 0)
@@ -64,11 +76,37 @@ class RefinementModule(nn.Module):
             )
             audio, video = self.crossmodal_fusion.get_fusion_block(i)(audio, video, train)
 
-        for j in range(self.audio_repeats):
-            i = j + self.fusion_repeats
-            audio = self.audio_net.get_block(i)(
-                audio + audio_residual if i > 0 else audio, train
+        start = self.fusion_repeats
+        n_tail = self.audio_repeats
+        use_scan = (self.scan_shared_repeats
+                    and self.audio_params.get("shared", False) and n_tail > 1)
+        if use_scan and start == 0:
+            # repeat 0 skips the residual add (reference
+            # refinement_module.py:57-61) — peel it, scan the rest
+            audio = self.audio_net.get_block(0)(audio, train)
+            start, n_tail = 1, n_tail - 1
+        if use_scan and n_tail > 1:
+            # every tail iteration is block(x + residual) with the SAME
+            # params -> one scan step traced once. (Audio blocks carry no
+            # mutable collections — every config's audio net uses gLN/LN4D.)
+            def body(mod, carry, _):
+                x, res = carry
+                y = mod.audio_net.get_block(start)(x + res, train)
+                return (y, res), None
+
+            scan = nn.scan(
+                body,
+                variable_broadcast="params",
+                split_rngs={"dropout": True},
+                length=n_tail,
             )
+            (audio, _), _ = scan(self, (audio, audio_residual), None)
+        else:
+            for j in range(n_tail):
+                i = j + start
+                audio = self.audio_net.get_block(i)(
+                    audio + audio_residual if i > 0 else audio, train
+                )
 
         return audio
 
