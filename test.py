@@ -15,7 +15,14 @@ padded length (multiples of ``--bucket-size`` samples) so each bucket
 compiles once; metrics are computed on the unpadded samples. Zero padding
 slightly shifts the gLN global statistics, so smaller buckets are more
 faithful (default 4000 = 0.25 s granularity; ``--bucket-size 1`` gives
-exact-length eval at the cost of one compile per distinct length).
+exact-length eval at the cost of one compile per distinct length;
+``tests/test_variable_length_eval.py`` bounds the SI-SNR delta).
+
+Batched + multi-chip: utterances in the same bucket run as batches of
+``--eval-batch-size`` (default training batch x2, the reference's eval
+loader setting — reference test.py:127-141) sharded over the local device
+mesh; per-utterance metrics stay unpadded and identical to the serial
+loop (``tests/test_batched_eval.py``).
 """
 import argparse
 import os
@@ -75,39 +82,20 @@ def main(conf):
     loss_func = PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx")
 
     bucket = int(conf["main_args"].get("bucket_size", 4000))
-    fwd = jax.jit(lambda v, m, e: model.apply(v, m, e))
     n_save_ex = int(conf["main_args"].get("n_save_ex", 10))
+    eval_bs = int(conf["main_args"].get("eval_batch_size") or
+                  conf["training"]["batch_size"] * 2)
+    sr = conf["data"]["sample_rate"]
 
-    for idx in range(len(test_set)):
-        sample = test_set[idx]
-        mix, sources = np.asarray(sample[0]), np.asarray(sample[1])
-        mouths = np.asarray(sample[2]) if len(sample) > 3 else None
-        key = sample[3] if len(sample) > 3 else sample[2]
-        if sources.ndim == 1:
-            sources = sources[None]
-        L = mix.shape[-1]
-        pad_L = -(-L // bucket) * bucket
-        mix_p = np.pad(mix, (0, pad_L - L))
+    from rtfs_net_tpu.evaluation import run_batched_eval
 
-        mouth_emb = None
-        if video_apply is not None and mouths is not None:
-            mouth_emb = video_apply(jnp.asarray(mouths[None], jnp.float32))
-        est = fwd(variables, jnp.asarray(mix_p[None]), mouth_emb)
-        est = np.asarray(est)[0][:, :L]  # (n_src, L) unpadded
-
-        _, reordered = loss_func(jnp.asarray(est[None]),
-                                 jnp.asarray(sources[None]), return_ests=True)
-        est = np.asarray(reordered)[0]
-
-        metrics(mix=mix, clean=sources, estimate=est, key=key,
-                sample_rate=conf["data"]["sample_rate"])
-        if idx < n_save_ex:
-            sr = conf["data"]["sample_rate"]
-            wavio.write(os.path.join(save_dir, "examples", f"{idx}_est.wav"), est[0], sr)
-            wavio.write(os.path.join(save_dir, "examples", f"{idx}_gt.wav"), sources[0], sr)
-            wavio.write(os.path.join(save_dir, "examples", f"{idx}_mix.wav"), mix, sr)
-        if idx % 50 == 0:
-            print(f"[{idx}/{len(test_set)}] {metrics.get_mean()}")
+    run_batched_eval(
+        model=model, variables=variables, test_set=test_set,
+        metrics=metrics, loss_func=loss_func, video_apply=video_apply,
+        bucket=bucket, eval_batch_size=eval_bs, sample_rate=sr,
+        n_save_ex=n_save_ex,
+        examples_dir=os.path.join(save_dir, "examples"),
+    )
 
     metrics.final()
     mean, std = metrics.get_mean(), metrics.get_std()
@@ -115,6 +103,31 @@ def main(conf):
     order = ["si-snr_i", "sdr_i", "pesq", "stoi", "si-snr", "sdr"]
     rows = [("Model", conf["log"]["exp_name"]),
             ("Params (M)", count_params(variables["params"]) / 1e6)]
+
+    # MACs over a 2 s input, like the reference's thop accounting embedded
+    # into results.csv (reference test.py:91-98, base_av_model.py:61-118)
+    from rtfs_net_tpu.utils.flops import flops_report
+
+    try:
+        mix2s = jnp.zeros((1, 2 * conf["data"]["sample_rate"]))
+        vout = conf["audionet"].get("pretrained_vout_chan", 512)
+        emb2s = jnp.zeros((1, vout, 50)) if video_apply is not None else None
+        # XLA cost analysis counts a scan body ONCE — unroll the repeats
+        # for accounting so every repeat's MACs are in the total
+        macs_model = (model.clone(scan_shared_repeats=False)
+                      if hasattr(model, "scan_shared_repeats") else model)
+        rep = flops_report(lambda v, m, e: macs_model.apply(v, m, e),
+                           variables, mix2s, emb2s)
+        rows.append(("MACs (G, 2s)", round(rep["gmacs"], 2)))
+    except Exception as e:
+        rows.append(("MACs (G, 2s)", f"unavailable ({e})"))
+    if video_apply is not None:
+        try:
+            vrep = flops_report(video_apply,
+                                jnp.zeros((1, 1, 50, 88, 88)))
+            rows.append(("Videomodel MACs (G, 2s)", round(vrep["gmacs"], 2)))
+        except Exception as e:
+            rows.append(("Videomodel MACs (G, 2s)", f"unavailable ({e})"))
     for k in sorted(mean, key=lambda k: order.index(k) if k in order else 100):
         m, s = round(mean[k], 4), round(std[k], 3)
         rows.append((k, f"{m} ± {s}"))
