@@ -1,0 +1,138 @@
+"""Batched, bucketed, multi-chip evaluation engine.
+
+The reference evaluates with a DataLoader at ``batch_size*2``
+(reference ``test.py:127-141``); round 1 here ran a serial batch-1
+Python loop on one chip. This engine restores batched throughput under
+XLA's static shapes:
+
+  * utterances are grouped by padded length (``bucket``-sample
+    granularity; audio zero-padded, mouth frames zero-padded to the
+    matching 25 fps count) — one compile per distinct padded shape;
+  * groups run as fixed-size batches of ``eval_batch_size`` (short final
+    batches repeat the last row so every batch hits the same compiled
+    executable);
+  * batches are sharded row-wise over the local device mesh
+    (``jax.sharding`` data axis), params replicated — eval scales over
+    every chip the way training does;
+  * metrics stay PER-UTTERANCE and UNPADDED: rows are cropped back to
+    their true length before PIT reordering and scoring, so numbers are
+    identical to the serial loop (``tests/test_batched_eval.py``).
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+
+@dataclass
+class _Record:
+    idx: int
+    mix: np.ndarray        # (L,)
+    sources: np.ndarray    # (n_src, L)
+    mouths: Optional[np.ndarray]
+    key: str
+    length: int
+
+
+def _pad_mouth(mouth: np.ndarray, tv: int) -> np.ndarray:
+    """Zero-pad (or crop) the frame axis (-3) to ``tv`` frames."""
+    t = mouth.shape[-3]
+    if t == tv:
+        return mouth
+    if t > tv:
+        sl = [slice(None)] * mouth.ndim
+        sl[-3] = slice(0, tv)
+        return mouth[tuple(sl)]
+    pad = [(0, 0)] * mouth.ndim
+    pad[-3] = (0, tv - t)
+    return np.pad(mouth, pad)
+
+
+def run_batched_eval(
+    model,
+    variables,
+    test_set,
+    metrics,
+    loss_func,
+    video_apply: Optional[Callable],
+    bucket: int,
+    eval_batch_size: int,
+    sample_rate: int,
+    n_save_ex: int = 0,
+    examples_dir: Optional[str] = None,
+    fps: int = 25,
+    progress_every: int = 50,
+) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from .datas import wavio
+    from .parallel import make_mesh, batch_sharded, replicated
+
+    mesh = make_mesh(batch_size=eval_batch_size)
+    shd = batch_sharded(mesh)
+    rep = replicated(mesh)
+    variables = jax.device_put(variables, rep)
+
+    fwd_cache: Dict[Any, Callable] = {}
+
+    def fwd(mix_b, emb_b):
+        key = (mix_b.shape, None if emb_b is None else tuple(emb_b.shape))
+        if key not in fwd_cache:
+            fwd_cache[key] = jax.jit(lambda v, m, e: model.apply(v, m, e))
+        return fwd_cache[key](variables, mix_b, emb_b)
+
+    n_done = 0
+
+    def flush(pad_len: int, recs: List[_Record]):
+        nonlocal n_done
+        rows = recs + [recs[-1]] * (eval_batch_size - len(recs))
+        mix_b = np.stack([np.pad(r.mix, (0, pad_len - r.length)) for r in rows])
+        mix_b = jax.device_put(jnp.asarray(mix_b), shd)
+        emb_b = None
+        if video_apply is not None and rows[0].mouths is not None:
+            tv = -(-pad_len * fps // sample_rate)
+            mouth_b = np.stack([_pad_mouth(r.mouths, tv) for r in rows])
+            mouth_b = jax.device_put(jnp.asarray(mouth_b, jnp.float32), shd)
+            emb_b = video_apply(mouth_b)
+        est_b = np.asarray(fwd(mix_b, emb_b))
+
+        for i, r in enumerate(recs):
+            est = est_b[i][:, : r.length]
+            _, reordered = loss_func(jnp.asarray(est[None]),
+                                     jnp.asarray(r.sources[None]),
+                                     return_ests=True)
+            est = np.asarray(reordered)[0]
+            metrics(mix=r.mix, clean=r.sources, estimate=est, key=r.key,
+                    sample_rate=sample_rate)
+            if examples_dir and r.idx < n_save_ex:
+                wavio.write(os.path.join(examples_dir, f"{r.idx}_est.wav"),
+                            est[0], sample_rate)
+                wavio.write(os.path.join(examples_dir, f"{r.idx}_gt.wav"),
+                            r.sources[0], sample_rate)
+                wavio.write(os.path.join(examples_dir, f"{r.idx}_mix.wav"),
+                            r.mix, sample_rate)
+            n_done += 1
+            if progress_every and n_done % progress_every == 0:
+                print(f"[{n_done}/{len(test_set)}] {metrics.get_mean()}")
+
+    pending: Dict[int, List[_Record]] = {}
+    for idx in range(len(test_set)):
+        sample = test_set[idx]
+        mix, sources = np.asarray(sample[0]), np.asarray(sample[1])
+        mouths = np.asarray(sample[2]) if len(sample) > 3 else None
+        key = sample[3] if len(sample) > 3 else sample[2]
+        if sources.ndim == 1:
+            sources = sources[None]
+        length = mix.shape[-1]
+        pad_len = -(-length // bucket) * bucket
+        rec = _Record(idx, mix, sources, mouths, key, length)
+        pending.setdefault(pad_len, []).append(rec)
+        if len(pending[pad_len]) == eval_batch_size:
+            flush(pad_len, pending.pop(pad_len))
+
+    for pad_len in sorted(pending):
+        flush(pad_len, pending[pad_len])
