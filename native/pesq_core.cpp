@@ -1,14 +1,34 @@
-// PESQ-style objective speech quality estimator (ITU-T P.862 structure).
+// PESQ objective speech quality (ITU-T P.862 algorithm, narrowband mode).
 //
 // Native C++ replacement slot for the reference's pypesq C extension
-// (reference: src/metrics/allwrapper.py:12,55). Implements the published
-// P.862 perceptual-model pipeline: level alignment, Hann STFT, Bark-band
-// power mapping, per-band frequency compensation, per-frame gain
-// compensation, Zwicker loudness transform, center-clipped symmetric +
-// asymmetry-weighted disturbance, L6/L2 two-stage time aggregation and the
-// linear MOS map (4.5 - 0.1*D - 0.0309*DA). Coefficient tables of the ITU
-// reference code are approximated (documented in README-native); when the
-// genuine pypesq is installed the Python dispatcher prefers it.
+// (reference: src/metrics/allwrapper.py:12,55). Implements the P.862
+// pipeline end to end with the standard's own scaling constants:
+//
+//   * input level alignment to 1e7 power in the 350-3250 Hz band
+//   * IRS receive characteristic (narrowband listening path)
+//   * whole-signal cross-correlation delay compensation (the eval inputs
+//     here are separation outputs, aligned by construction; the ITU
+//     utterance-splitting fine realignment is not reproduced)
+//   * 32 ms Hann frames, 50% overlap, |FFT|^2 -> Bark band powers with
+//     the published Sp power scale (6.910853e-6 @16k, 2.764344e-5 @8k)
+//   * partial frequency compensation (+1000 floor, [0.01, 100] bound)
+//   * smoothed partial gain compensation (+5e3 floor, [3e-4, 5] bound)
+//   * Zwicker loudness with the published Sl (1.866055e-1) and the
+//     low-band modified 0.23 exponent (h = (6/(z+2))^0.15 for z < 4)
+//   * masking-clipped disturbance, asymmetry factor ((d+50)/(r+50))^1.2
+//     (zeroed < 3, capped 12)
+//   * per-frame pseudo-Lp over Bark widths (p=2 symmetric, p=1
+//     asymmetric), 45 cap, ((E+1e5)/1e7)^0.04 frame-energy weighting
+//   * L6-over-20-frame-syllables then L2 aggregation
+//   * raw P.862 MOS = 4.5 - 0.1*D - 0.0309*DA
+//
+// The Bark band layout (49 bands @16 kHz input / 42 @8 kHz, matching the
+// ITU band counts) is derived from the Zwicker warping formula with
+// per-band Hz-width power corrections rather than copied from the ITU
+// tables (not redistributable; environment has no network), so scores
+// track P.862 closely but are not guaranteed bit-identical to the ITU
+// reference code. When genuine pypesq is installed the Python dispatcher
+// (rtfs_net_tpu/metrics/pesq.py) prefers it.
 //
 // Pure C++ (no Python API here) so the core is unit-testable standalone.
 
@@ -23,10 +43,13 @@
 namespace rtfs_native {
 
 static const double kPi = 3.14159265358979323846;
-// disturbance->MOS scales, calibrated on additive-noise curves so white
-// noise lands near published PESQ values (see tests/test_native.py)
-static const double kSymScale = 0.08;
-static const double kAsymScale = 0.02;
+
+// published P.862 scaling constants (ITU-T P.862 ANSI-C reference,
+// pesqpar.h): power (Sp) and loudness (Sl) scale factors
+static const double kSp16k = 6.910853e-6;
+static const double kSp8k = 2.764344e-5;
+static const double kSl = 1.866055e-1;
+static const double kZwicker = 0.23;
 
 // ----------------------------------------------------------------- FFT
 // iterative radix-2 complex FFT (n = power of two)
@@ -62,13 +85,40 @@ static void fft(std::vector<double>& re, std::vector<double>& im) {
   }
 }
 
+static void ifft(std::vector<double>& re, std::vector<double>& im) {
+  for (auto& v : im) v = -v;
+  fft(re, im);
+  const double inv = 1.0 / re.size();
+  for (size_t i = 0; i < re.size(); ++i) {
+    re[i] *= inv;
+    im[i] *= -inv;
+  }
+}
+
+static size_t next_pow2(size_t n) {
+  size_t p = 1;
+  while (p < n) p <<= 1;
+  return p;
+}
+
 // -------------------------------------------------------------- helpers
 static double bark_of_hz(double f) {
   return 13.0 * std::atan(0.00076 * f) +
          3.5 * std::atan((f / 7500.0) * (f / 7500.0));
 }
 
-// approximate absolute hearing threshold (dB SPL) by frequency
+static double hz_of_bark(double z) {
+  // numerical inverse (monotone bisection)
+  double lo = 0.0, hi = 20000.0;
+  for (int it = 0; it < 60; ++it) {
+    double mid = 0.5 * (lo + hi);
+    (bark_of_hz(mid) < z ? lo : hi) = mid;
+  }
+  return 0.5 * (lo + hi);
+}
+
+// absolute hearing threshold (dB SPL) by frequency (Terhardt approximation,
+// tracking the ITU abs_thresh_power tables)
 static double abs_thresh_db(double f) {
   double fk = f / 1000.0;
   if (fk <= 0.0) fk = 1e-3;
@@ -80,44 +130,149 @@ static double abs_thresh_db(double f) {
 struct BarkMap {
   int n_bands;
   std::vector<std::vector<int>> bins;   // fft bins per band
-  std::vector<double> width;            // bark width per band
+  std::vector<double> centre_bark;
+  std::vector<double> width_bark;
+  std::vector<double> pow_corr;         // Hz-width quantization correction
   std::vector<double> thresh_pow;       // absolute threshold power per band
 };
 
+// P.862 band counts: 49 bands for 16 kHz input, 42 for 8 kHz, uniformly
+// spaced on the Zwicker bark axis up to fs/2
 static BarkMap make_bark_map(int fs, int nfft) {
   BarkMap map;
-  const int n_bands = 42;
+  const int n_bands = (fs >= 16000) ? 49 : 42;
   map.n_bands = n_bands;
   map.bins.assign(n_bands, {});
-  map.width.assign(n_bands, 0.0);
+  map.centre_bark.assign(n_bands, 0.0);
+  map.width_bark.assign(n_bands, 0.0);
+  map.pow_corr.assign(n_bands, 1.0);
   map.thresh_pow.assign(n_bands, 0.0);
-  double max_bark = bark_of_hz(fs / 2.0);
-  double step = max_bark / n_bands;
-  int half = nfft / 2;
-  std::vector<double> thresh_sum(n_bands, 0.0);
-  std::vector<int> counts(n_bands, 0);
+  const double max_bark = bark_of_hz(fs / 2.0);
+  const double step = max_bark / n_bands;
+  const double df = static_cast<double>(fs) / nfft;
+  const int half = nfft / 2;
   for (int k = 1; k <= half; ++k) {
-    double f = static_cast<double>(k) * fs / nfft;
+    double f = k * df;
     int b = std::min(n_bands - 1, static_cast<int>(bark_of_hz(f) / step));
     map.bins[b].push_back(k);
-    thresh_sum[b] += abs_thresh_db(f);
-    counts[b]++;
   }
   for (int b = 0; b < n_bands; ++b) {
-    map.width[b] = step;
-    double mean_db = counts[b] ? thresh_sum[b] / counts[b] : 100.0;
-    map.thresh_pow[b] = std::pow(10.0, mean_db / 10.0);
+    double z_lo = b * step, z_hi = (b + 1) * step;
+    map.centre_bark[b] = 0.5 * (z_lo + z_hi);
+    map.width_bark[b] = step;
+    double f_lo = hz_of_bark(z_lo), f_hi = hz_of_bark(z_hi);
+    double width_hz = f_hi - f_lo;
+    double covered = map.bins[b].size() * df;
+    // correct the bin-quantized band power to the analytic band width
+    map.pow_corr[b] = covered > 0.0 ? width_hz / covered : 0.0;
+    double fc = hz_of_bark(map.centre_bark[b]);
+    map.thresh_pow[b] = std::pow(10.0, abs_thresh_db(fc) / 10.0);
   }
   return map;
 }
 
-// power spectra of hann-windowed frames -> bark band powers (frames x bands)
+// ---------------------------------------------------- signal conditioning
+// overall power in [f_lo, f_hi] Hz via one whole-signal FFT
+static double band_power(const std::vector<double>& x, int fs, double f_lo,
+                         double f_hi) {
+  size_t nfft = next_pow2(x.size());
+  std::vector<double> re(nfft, 0.0), im(nfft, 0.0);
+  std::copy(x.begin(), x.end(), re.begin());
+  fft(re, im);
+  double acc = 0.0;
+  size_t half = nfft / 2;
+  for (size_t k = 1; k <= half; ++k) {
+    double f = static_cast<double>(k) * fs / nfft;
+    if (f >= f_lo && f <= f_hi) acc += re[k] * re[k] + im[k] * im[k];
+  }
+  // Parseval: mean-square in band = 2 * sum(|X|^2) / nfft^2 (one-sided)
+  return 2.0 * acc / (static_cast<double>(nfft) * nfft) *
+         (static_cast<double>(nfft) / x.size());
+}
+
+// IRS receive characteristic (P.862 narrowband listening path): piecewise
+// log-frequency gain applied in the FFT domain
+static void irs_filter(std::vector<double>& x, int fs) {
+  static const double pts[][2] = {
+      {0, -200},   {50, -40},   {100, -20},  {125, -12},  {160, -6},
+      {200, 0},    {250, 4},    {300, 6},    {350, 8},    {400, 10},
+      {500, 11},   {600, 12},   {700, 12},   {800, 12},   {1000, 12},
+      {1300, 12},  {1600, 12},  {2000, 12},  {2500, 12},  {3000, 12},
+      {3250, 12},  {3500, 4},   {4000, -200}, {5000, -200},
+      {6300, -200}, {8000, -200},
+  };
+  const int npts = sizeof(pts) / sizeof(pts[0]);
+  size_t nfft = next_pow2(x.size());
+  std::vector<double> re(nfft, 0.0), im(nfft, 0.0);
+  std::copy(x.begin(), x.end(), re.begin());
+  fft(re, im);
+  size_t half = nfft / 2;
+  for (size_t k = 0; k <= half; ++k) {
+    double f = static_cast<double>(k) * fs / nfft;
+    double gain_db;
+    if (f <= pts[0][0]) {
+      gain_db = pts[0][1];
+    } else if (f >= pts[npts - 1][0]) {
+      gain_db = pts[npts - 1][1];
+    } else {
+      int i = 0;
+      while (i + 1 < npts && pts[i + 1][0] < f) ++i;
+      double f0 = pts[i][0], f1 = pts[i + 1][0];
+      double g0 = pts[i][1], g1 = pts[i + 1][1];
+      gain_db = g0 + (g1 - g0) * (f - f0) / (f1 - f0);
+    }
+    double g = std::pow(10.0, gain_db / 20.0);
+    re[k] *= g;
+    im[k] *= g;
+    if (k > 0 && k < half) {  // conjugate mirror
+      re[nfft - k] *= g;
+      im[nfft - k] *= g;
+    }
+  }
+  ifft(re, im);
+  for (size_t i = 0; i < x.size(); ++i) x[i] = re[i];
+}
+
+// whole-signal delay estimate (FFT cross-correlation), in samples:
+// positive = deg lags ref
+static int estimate_delay(const std::vector<double>& r,
+                          const std::vector<double>& d, int max_lag) {
+  size_t nfft = next_pow2(r.size() + d.size());
+  std::vector<double> ar(nfft, 0.0), ai(nfft, 0.0), br(nfft, 0.0),
+      bi(nfft, 0.0);
+  std::copy(r.begin(), r.end(), ar.begin());
+  std::copy(d.begin(), d.end(), br.begin());
+  fft(ar, ai);
+  fft(br, bi);
+  for (size_t k = 0; k < nfft; ++k) {  // conj(R) * D
+    double xr = ar[k] * br[k] + ai[k] * bi[k];
+    double xi = ar[k] * bi[k] - ai[k] * br[k];
+    ar[k] = xr;
+    ai[k] = xi;
+  }
+  ifft(ar, ai);
+  int best = 0;
+  double best_v = -1.0;
+  for (int lag = -max_lag; lag <= max_lag; ++lag) {
+    size_t idx = lag >= 0 ? static_cast<size_t>(lag) : nfft + lag;
+    double v = std::fabs(ar[idx]);
+    if (v > best_v) {
+      best_v = v;
+      best = lag;
+    }
+  }
+  return best;
+}
+
+// ------------------------------------------------------ perceptual model
+// power spectra of hann-windowed frames -> bark band powers, Sp-scaled
 static std::vector<std::vector<double>> bark_frames(
-    const float* x, int n, int fs, int frame, int hop, int nfft,
-    const BarkMap& map) {
+    const std::vector<double>& x, int fs, int frame, int hop, int nfft,
+    const BarkMap& map, double sp) {
   std::vector<double> win(frame);
   for (int i = 0; i < frame; ++i)
     win[i] = 0.5 * (1.0 - std::cos(2.0 * kPi * i / frame));
+  int n = static_cast<int>(x.size());
   int n_frames = n >= frame ? (n - frame) / hop + 1 : 0;
   std::vector<std::vector<double>> out(
       n_frames, std::vector<double>(map.n_bands, 0.0));
@@ -125,72 +280,123 @@ static std::vector<std::vector<double>> bark_frames(
   for (int t = 0; t < n_frames; ++t) {
     std::fill(re.begin(), re.end(), 0.0);
     std::fill(im.begin(), im.end(), 0.0);
-    for (int i = 0; i < frame; ++i)
-      re[i] = static_cast<double>(x[t * hop + i]) * win[i];
+    for (int i = 0; i < frame; ++i) re[i] = x[t * hop + i] * win[i];
     fft(re, im);
     for (int b = 0; b < map.n_bands; ++b) {
       double p = 0.0;
       for (int k : map.bins[b]) p += re[k] * re[k] + im[k] * im[k];
-      out[t][b] = p / (frame * frame * 0.375);  // hann power normalization
+      out[t][b] = p * map.pow_corr[b] * sp;
     }
   }
   return out;
 }
 
-static double zwicker_loudness(double p, double p0) {
-  // Zwicker's law with 0.23 exponent against the band threshold
-  if (p <= 0.0) return 0.0;
-  double sl = std::pow(p0 / 0.5, 0.23);
-  double v = std::pow(0.5 + 0.5 * p / p0, 0.23) - 1.0;
-  return v > 0.0 ? sl * v : 0.0;
+// total power of audible bands (above factor * absolute threshold)
+static double total_audible(const std::vector<double>& band_pow,
+                            const BarkMap& map, double factor) {
+  double acc = 0.0;
+  for (int b = 1; b < map.n_bands; ++b)
+    if (band_pow[b] > factor * map.thresh_pow[b]) acc += band_pow[b];
+  return acc;
+}
+
+// Zwicker loudness density per band (Sl scale, low-band modified exponent)
+static void loudness_dens(const std::vector<double>& band_pow,
+                          const BarkMap& map, std::vector<double>& out) {
+  out.assign(map.n_bands, 0.0);
+  for (int b = 0; b < map.n_bands; ++b) {
+    double p0 = map.thresh_pow[b];
+    double zw = kZwicker;
+    double z = map.centre_bark[b];
+    if (z < 4.0) {
+      double h = 6.0 / (z + 2.0);
+      if (h > 2.0) h = 2.0;
+      zw = kZwicker * std::pow(h, 0.15);
+    }
+    double base = std::pow(p0 / 0.5, zw);
+    double v = std::pow(0.5 + 0.5 * band_pow[b] / p0, zw) - 1.0;
+    out[b] = v > 0.0 ? kSl * base * v : 0.0;
+  }
+}
+
+// weighted pseudo-Lp over bark widths (ITU pseudo_Lp)
+static double pseudo_lp(const std::vector<double>& x, const BarkMap& map,
+                        double p) {
+  double acc = 0.0, wsum = 0.0;
+  for (int b = 1; b < map.n_bands; ++b) {
+    double w = map.width_bark[b];
+    acc += std::pow(std::fabs(x[b]) * w, p);
+    wsum += w;
+  }
+  if (wsum <= 0.0) return 0.0;
+  return std::pow(acc / wsum, 1.0 / p) * wsum;
+}
+
+// Lp mean over a vector with equal weights
+static double lp_mean(const std::vector<double>& v, double p) {
+  if (v.empty()) return 0.0;
+  double acc = 0.0;
+  for (double x : v) acc += std::pow(std::fabs(x), p);
+  return std::pow(acc / v.size(), 1.0 / p);
 }
 
 // --------------------------------------------------------------- main
-// returns MOS-like score in [-0.5, 4.5]
-double pesq_score(const float* ref, const float* deg, int n, int fs) {
+// returns raw P.862 MOS in [-0.5, 4.5]
+double pesq_score(const float* ref_in, const float* deg_in, int n, int fs) {
   if (n < fs / 4) return -0.5;  // too short
-  int frame = (fs >= 16000) ? 512 : 256;
-  int hop = frame / 2;
-  int nfft = frame * 2;
+  const int frame = (fs >= 16000) ? 512 : 256;
+  const int hop = frame / 2;
+  const int nfft = frame;
+  const double sp = (fs >= 16000) ? kSp16k : kSp8k;
   BarkMap map = make_bark_map(fs, nfft);
 
-  // level alignment: scale both to a fixed RMS
-  auto rms = [n](const float* x) {
-    double s = 0.0;
-    for (int i = 0; i < n; ++i) s += double(x[i]) * x[i];
-    return std::sqrt(s / n) + 1e-20;
-  };
-  const double target = 3162.0;  // ITU-style 1e7 power calibration
-  double sr = target / rms(ref), sd = target / rms(deg);
-  std::vector<float> r(n), d(n);
-  for (int i = 0; i < n; ++i) {
-    r[i] = static_cast<float>(ref[i] * sr);
-    d[i] = static_cast<float>(deg[i] * sd);
-  }
+  std::vector<double> r(ref_in, ref_in + n), d(deg_in, deg_in + n);
 
-  auto rb = bark_frames(r.data(), n, fs, frame, hop, nfft, map);
-  auto db = bark_frames(d.data(), n, fs, frame, hop, nfft, map);
+  // ---- level alignment: 1e7 power in the 350-3250 Hz band ----
+  const double target_pow = 1e7;
+  double pr = band_power(r, fs, 350.0, 3250.0);
+  double pd = band_power(d, fs, 350.0, 3250.0);
+  if (pr <= 0.0 || pd <= 0.0) return -0.5;
+  double sr = std::sqrt(target_pow / pr), sd = std::sqrt(target_pow / pd);
+  for (auto& v : r) v *= sr;
+  for (auto& v : d) v *= sd;
+
+  // ---- IRS receive filtering (both paths) ----
+  irs_filter(r, fs);
+  irs_filter(d, fs);
+
+  // ---- delay compensation (whole-signal; see header) ----
+  int max_lag = std::min(n / 4, fs / 2);
+  int delay = estimate_delay(r, d, max_lag);
+  if (delay > 0) {
+    d.erase(d.begin(), d.begin() + delay);
+  } else if (delay < 0) {
+    r.erase(r.begin(), r.begin() - delay);
+  }
+  size_t common = std::min(r.size(), d.size());
+  r.resize(common);
+  d.resize(common);
+
+  auto rb = bark_frames(r, fs, frame, hop, nfft, map, sp);
+  auto db = bark_frames(d, fs, frame, hop, nfft, map, sp);
   int T = static_cast<int>(rb.size());
   if (T < 4) return -0.5;
   int B = map.n_bands;
 
-  // silent-frame detection on the reference (30 dB below max frame power)
-  std::vector<double> frame_pow(T, 0.0);
-  double max_pow = 1e-30;
-  for (int t = 0; t < T; ++t) {
-    for (int b = 0; b < B; ++b) frame_pow[t] += rb[t][b];
-    max_pow = std::max(max_pow, frame_pow[t]);
-  }
+  // ---- silent-frame detection (ITU: audible power < 1e7 at factor 100)
   std::vector<bool> active(T);
+  std::vector<double> frame_audible(T, 0.0);
   int n_active = 0;
   for (int t = 0; t < T; ++t) {
-    active[t] = frame_pow[t] > max_pow * 1e-3;
+    frame_audible[t] = total_audible(rb[t], map, 1.0);
+    active[t] = total_audible(rb[t], map, 100.0) >= 1e7;
     n_active += active[t];
   }
   if (n_active < 2) return -0.5;
 
-  // per-band frequency compensation (linear-filtering invariance):
-  // scale the reference band power toward the degraded mean
+  // ---- partial frequency compensation (linear-filtering invariance):
+  // per band, scale the reference toward the degraded time-average
+  // (+1000 floor, bounded [0.01, 100] — P.862 partial compensation)
   for (int b = 0; b < B; ++b) {
     double mr = 0.0, md = 0.0;
     for (int t = 0; t < T; ++t)
@@ -198,78 +404,81 @@ double pesq_score(const float* ref, const float* deg, int n, int fs) {
         mr += rb[t][b];
         md += db[t][b];
       }
-    // partial compensation (P.862-style additive floor keeps weak bands
-    // uncompensated; strong bands fully compensated), clipped to +-13 dB
-    double c = 1000.0 * n_active;
-    double ratio = (md + c) / (mr + c);
-    ratio = std::min(2.0, std::max(0.05, ratio));  // upward comp capped: filtering, not additive noise
-    for (int t = 0; t < T; ++t) rb[t][b] *= ratio;
+    mr /= std::max(1, n_active);
+    md /= std::max(1, n_active);
+    double factor = (md + 1000.0) / (mr + 1000.0);
+    factor = std::min(100.0, std::max(0.01, factor));
+    for (int t = 0; t < T; ++t) rb[t][b] *= factor;
   }
 
-  // per-frame gain compensation on the degraded signal (slow AGC)
+  // ---- partial gain compensation (short-term AGC on the degraded
+  // signal): +5e3 floor, bounded [3e-4, 5], first-order smoothed
+  double gain_smooth = 1.0;
   for (int t = 0; t < T; ++t) {
-    double pr = 1e-20, pd = 1e-20;
-    for (int b = 0; b < B; ++b) {
-      pr += rb[t][b];
-      pd += db[t][b];
-    }
-    double g = std::min(5.0, std::max(3e-4, pr / pd));
-    for (int b = 0; b < B; ++b) db[t][b] *= g;
+    double ra = 5e3 + total_audible(rb[t], map, 1.0);
+    double da = 5e3 + total_audible(db[t], map, 1.0);
+    double g = ra / da;
+    g = std::min(5.0, std::max(3e-4, g));
+    gain_smooth = 0.8 * gain_smooth + 0.2 * g;
+    for (int b = 0; b < B; ++b) db[t][b] *= gain_smooth;
   }
 
-  // loudness + disturbance per frame
+  // ---- loudness + disturbance per frame ----
   std::vector<double> d_frame(T, 0.0), da_frame(T, 0.0);
+  std::vector<double> lr(B), ld(B), dist(B), dist_a(B);
   for (int t = 0; t < T; ++t) {
-    double sym = 0.0, asym = 0.0, wsum = 0.0;
+    loudness_dens(rb[t], map, lr);
+    loudness_dens(db[t], map, ld);
     for (int b = 0; b < B; ++b) {
-      double lr = zwicker_loudness(rb[t][b], map.thresh_pow[b]);
-      double ld = zwicker_loudness(db[t][b], map.thresh_pow[b]);
-      double diff = ld - lr;
-      double m = 0.25 * std::min(lr, ld);  // center clipping (masking)
-      double mag = std::max(0.0, std::fabs(diff) - m);
-      // asymmetry factor: additive distortions weigh more
-      double af = std::pow((db[t][b] + 50.0 * map.thresh_pow[b]) /
-                               (rb[t][b] + 50.0 * map.thresh_pow[b]),
-                           1.2);
-      if (af < 3.0) af = 0.0;
-      af = std::min(af, 12.0);
-      double w = map.width[b];
-      sym += mag * mag * w;
-      asym += mag * af * w;
-      wsum += w;
+      double diff = ld[b] - lr[b];
+      double m = 0.25 * std::min(lr[b], ld[b]);  // masking
+      if (diff > m)
+        dist[b] = diff - m;
+      else if (diff < -m)
+        dist[b] = diff + m;
+      else
+        dist[b] = 0.0;
+      // asymmetry: additive distortions weigh more than omissions
+      double af = std::pow((db[t][b] + 50.0) / (rb[t][b] + 50.0), 1.2);
+      if (af < 3.0)
+        af = 0.0;
+      else if (af > 12.0)
+        af = 12.0;
+      dist_a[b] = dist[b] * af;
     }
-    d_frame[t] = std::sqrt(sym / wsum);
-    da_frame[t] = asym / wsum;
+    double h = std::pow((frame_audible[t] + 1e5) / 1e7, 0.04);
+    d_frame[t] = std::min(pseudo_lp(dist, map, 2.0) / h, 45.0);
+    da_frame[t] = std::min(pseudo_lp(dist_a, map, 1.0) / h, 45.0);
   }
 
-  // two-stage Lp aggregation over 20-frame "syllables": L6 then L2
+  // ---- two-stage aggregation: L6 over 20-frame syllables (50% overlap),
+  // then L2 over syllables. Only speech-active frames contribute (the
+  // ITU model scores within utterance boundaries; silent-reference
+  // frames would otherwise saturate the asymmetry factor) ----
   auto aggregate = [&](const std::vector<double>& v, double p1, double p2) {
     const int chunk = 20;
     std::vector<double> chunks;
     for (int start = 0; start < T; start += chunk / 2) {
       double acc = 0.0;
       int cnt = 0;
-      for (int t = start; t < std::min(T, start + chunk); ++t)
-        if (active[t]) {
-          acc += std::pow(v[t], p1);
-          cnt++;
-        }
+      for (int t = start; t < std::min(T, start + chunk); ++t) {
+        if (!active[t]) continue;
+        acc += std::pow(v[t], p1);
+        cnt++;
+      }
       if (cnt) chunks.push_back(std::pow(acc / cnt, 1.0 / p1));
     }
-    if (chunks.empty()) return 0.0;
-    double acc = 0.0;
-    for (double c : chunks) acc += std::pow(c, p2);
-    return std::pow(acc / chunks.size(), 1.0 / p2);
+    return lp_mean(chunks, p2);
   };
 
   double D = aggregate(d_frame, 6.0, 2.0);
   double DA = aggregate(da_frame, 1.0, 2.0);
 
   if (std::getenv("RTFS_PESQ_DEBUG")) {
-    std::fprintf(stderr, "D=%g DA=%g\n", D, DA);
+    std::fprintf(stderr, "delay=%d D=%g DA=%g\n", delay, D, DA);
   }
-  // P.862 linear MOS map with our disturbance scaling
-  double mos = 4.5 - kSymScale * D - kAsymScale * DA;
+  // raw P.862 MOS map (published constants)
+  double mos = 4.5 - 0.1 * D - 0.0309 * DA;
   return std::min(4.5, std::max(-0.5, mos));
 }
 
