@@ -1,14 +1,20 @@
 #!/usr/bin/env python
-"""TPU benchmark: RTFS-Net-4 separation throughput on one chip.
+"""TPU benchmark: RTFS-Net-4 separation + training throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus
+auxiliary keys (train_ms_per_step_b4, train_utt_per_s_per_chip,
+inference_ms_per_utt).
 
-Metric: 2 s @16 kHz mixture utterances separated per second per chip
-(batch 32, bf16 serving precision — 43 dB output agreement with f32 —
-full forward incl. STFT/iSTFT, lip embedding precomputed, matching the
-paper's inference-latency measurement setup). vs_baseline is the speedup
-over the reference's published per-utterance GPU latency of 57.8 ms
-(BASELINE.md: RTFS-Net-4 time).
+Primary metric: 2 s @16 kHz mixture utterances separated per second per
+chip (batch 32, bf16 serving precision — 43 dB output agreement with
+f32 — full forward incl. STFT/iSTFT, lip embedding precomputed, matching
+the paper's inference-latency measurement setup). vs_baseline is the
+speedup over the reference's published per-utterance GPU latency of
+57.8 ms (BASELINE.md: RTFS-Net-4 time).
+
+Training metric: full train step (fwd + PIT-SNR + grads + AdamW) at the
+reference's per-device batch of 4 (lrs2_RTFSNet_4_layer.yaml:108-110),
+bf16 mixed precision, per-block remat.
 """
 import json
 import os
@@ -64,12 +70,50 @@ def main():
 
     utt_per_s = B / dt
     ms_per_utt = dt / B * 1e3
+
+    # ---- training step (per-chip batch 4, bf16 mixed precision) ----
+    from rtfs_net_tpu.losses import PITLossWrapper, pairwise_neg_snr, pairwise_neg_sisdr
+    from rtfs_net_tpu.system import System, make_optimizer
+
+    TB = 4
+    system = System(
+        model, make_optimizer(**conf["optim"]),
+        {"train": PITLossWrapper(pairwise_neg_snr),
+         "val": PITLossWrapper(pairwise_neg_sisdr)},
+        compute_dtype=jnp.bfloat16,
+    )
+    tmouth = mouth[:TB]
+    # mouth embeddings enter precomputed (identity video path), so the
+    # state holds the full AV param tree
+    state = system.init_state(jax.random.PRNGKey(0), mix_pool[0][:1], mouth[:1])
+    train_step = jax.jit(system.train_step)
+    tkey = jax.random.PRNGKey(1)
+
+    state_box = [state]
+
+    def run_train(m):
+        new_state, metrics = train_step(state_box[0], (m, m[:, None, :], tmouth), tkey)
+        state_box[0] = new_state
+        return metrics["loss"]
+
+    run_train(mix_pool[0][:TB])  # warm-up / compile
+
+    tstats = timed(
+        run_train,
+        make_args=lambda i: (mix_pool[i % len(mix_pool)][:TB] + float(i) * 1e-6,),
+        iters=6,
+    )
+    train_ms = tstats["min_ms"]
+
     baseline_ms_per_utt = 57.8  # reference paper RTFS-Net-4 inference time
     print(json.dumps({
         "metric": "rtfsnet4_bf16_2s_utterances_per_sec_per_chip",
         "value": round(utt_per_s, 2),
         "unit": "utt/s",
         "vs_baseline": round(baseline_ms_per_utt / ms_per_utt, 2),
+        "inference_ms_per_utt": round(ms_per_utt, 3),
+        "train_ms_per_step_b4": round(train_ms, 1),
+        "train_utt_per_s_per_chip": round(TB / (train_ms / 1e3), 2),
     }))
 
 
