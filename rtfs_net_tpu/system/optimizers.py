@@ -289,6 +289,8 @@ def make_optimizer(optimizer: str = "adamw", lr: float = 1e-3,
                             optax.scale_by_learning_rate(learning_rate)))
         raise ValueError(f"Could not interpret optimizer identifier: {optimizer}")
 
+    build(lr)  # eager name/hyperparameter validation (inject_hyperparams
+    # defers the inner call to init time)
     return optax.inject_hyperparams(
         lambda learning_rate: build(learning_rate)
     )(learning_rate=lr)

@@ -63,8 +63,31 @@ def main(args):
     fwd = jax.jit(lambda v, m, e: model.apply(
         v, m.astype(dtype), None if e is None else e.astype(dtype)
     ).astype(jnp.float32))
-    est = separate(lambda m: fwd(variables, m, mouth_emb), mix)
-    est = np.asarray(est)[0][:, :L]  # (n_src, L)
+
+    chunk = getattr(args, "chunk_seconds", 0) or 0
+    if chunk > 0:
+        # streaming/long-form mode: 50%-overlap chunks via the reference's
+        # split/merge utilities (src/models/utils/utils.py:25-55), all
+        # chunks separated as ONE batch, halved overlap-add reconstruction
+        # (every sample lands in exactly two blocks)
+        if mouth_emb is not None:
+            raise SystemExit("--chunk-seconds currently supports "
+                             "audio-only models (mouth conditioning spans "
+                             "the full utterance)")
+        from rtfs_net_tpu.utils.features import split_feature, merge_feature
+
+        block = int(chunk * sr)
+        raw = jnp.asarray(wav[None])  # chunking does its own padding
+        blocks, rest = split_feature(raw[:, None, :], block)  # (1,1,block,n)
+        n = blocks.shape[-1]
+        batch = jnp.moveaxis(blocks[0, 0], -1, 0)  # (n, block)
+        est_b = separate(lambda m: fwd(variables, m, None), batch)  # (n, n_src, block)
+        stacked = jnp.moveaxis(est_b, 0, -1)[None]  # (1, n_src, block, n)
+        merged = merge_feature(stacked, rest) * 0.5
+        est = np.asarray(merged)[0][:, :L]
+    else:
+        est = separate(lambda m: fwd(variables, m, mouth_emb), mix)
+        est = np.asarray(est)[0][:, :L]  # (n_src, L)
 
     out_dir = args.output or os.path.dirname(os.path.abspath(args.input))
     os.makedirs(out_dir, exist_ok=True)
@@ -84,5 +107,9 @@ if __name__ == "__main__":
                    help="YAML with a videonet: block (e.g. the experiment conf.yaml)")
     p.add_argument("--output", default=None, help="output dir")
     p.add_argument("--bucket-size", type=int, default=4000)
+    p.add_argument("--chunk-seconds", type=float, default=0,
+                   help="long-form mode: separate 50%%-overlap chunks of "
+                        "this length as one batch and overlap-add "
+                        "(audio-only models)")
     p.add_argument("--bf16", action="store_true", help="serving precision")
     main(p.parse_args())

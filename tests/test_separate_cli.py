@@ -38,3 +38,41 @@ def test_separate_cli(tmp_path, rng):
     data, sr = wavio.read(out)
     assert sr == 16000 and data.shape[0] == 3000
     assert np.isfinite(data).all()
+
+
+def test_separate_cli_chunked(tmp_path, rng):
+    """Long-form mode: 50%-overlap chunked separation via the reference's
+    split/merge utilities, all chunks one batch."""
+    conf = {**TINY_AUDIONET}
+    conf["video_params"] = {}
+    conf["fusion_params"] = {}
+    model = AVNet(**conf)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000)), None)
+    ckpt = str(tmp_path / "best_model.ckpt")
+    serialization.save_model(ckpt, "AVNet", conf, v)
+
+    wav_path = str(tmp_path / "long.wav")
+    wavio.write(wav_path, rng.standard_normal(9100).astype(np.float32) * 0.1, 16000)
+
+    import separate as cli
+
+    cli.main(argparse.Namespace(
+        model=ckpt, input=wav_path, mouth=None, videonet_conf=None,
+        output=str(tmp_path / "out"), bucket_size=2000, bf16=False,
+        chunk_seconds=0.25,
+    ))
+    data, sr = wavio.read(str(tmp_path / "out" / "long_s1.wav"))
+    assert sr == 16000 and data.shape[0] == 9100
+    assert np.isfinite(data).all() and np.abs(data).max() > 0
+
+
+def test_split_merge_halved_roundtrip(rng):
+    """merge(split(x)) doubles every sample (each lands in exactly two
+    50%-overlap blocks after the stride padding); halving reconstructs
+    exactly — the invariant the chunked CLI relies on."""
+    from rtfs_net_tpu.utils.features import split_feature, merge_feature
+
+    x = jnp.asarray(rng.standard_normal((1, 1, 5000)).astype(np.float32))
+    blocks, rest = split_feature(x, 1600)
+    back = merge_feature(blocks, rest) * 0.5
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
