@@ -16,15 +16,45 @@ XLA's static shapes:
     every chip the way training does;
   * metrics stay PER-UTTERANCE and UNPADDED: rows are cropped back to
     their true length before PIT reordering and scoring, so numbers are
-    identical to the serial loop (``tests/test_batched_eval.py``).
+    identical to the serial loop (``tests/test_batched_eval.py``);
+  * per-utterance scoring (PIT reorder + SI-SNR/SDR/PESQ/STOI + wav
+    dumps) runs in HOST WORKER THREADS in pure numpy/C++, overlapped with
+    the device computing the next batch — through the TPU tunnel, eager
+    per-op jax metric math was the dominant eval cost, not the model.
 """
 from __future__ import annotations
 
+import itertools
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
+
+from .metrics.allwrapper import np_pit_neg_sdr, _np_neg_sdr
+
+
+def _np_reorder(est: np.ndarray, src: np.ndarray) -> np.ndarray:
+    """Reorder estimate rows to the PIT-best permutation vs the sources
+    under SI-SDR (reference test.py:56-58 return_ests reorder)."""
+    n_src = src.shape[0]
+    if n_src == 1:
+        return est
+    pairwise = np.empty((n_src, n_src))
+    for i in range(n_src):
+        for j in range(n_src):
+            pairwise[i, j] = _np_neg_sdr(est[i].astype(np.float64),
+                                         src[j].astype(np.float64), "sisdr")
+    best_perm = min(itertools.permutations(range(n_src)),
+                    key=lambda p: np.mean([pairwise[i, pi]
+                                           for i, pi in enumerate(p)]))
+    # est[i] matches src[best_perm[i]] -> place est rows in source order
+    out = np.empty_like(est)
+    for i, pi in enumerate(best_perm):
+        out[pi] = est[i]
+    return out
 
 
 @dataclass
@@ -65,6 +95,7 @@ def run_batched_eval(
     examples_dir: Optional[str] = None,
     fps: int = 25,
     progress_every: int = 50,
+    metric_workers: int = 8,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -86,10 +117,40 @@ def run_batched_eval(
         return fwd_cache[key](variables, mix_b, emb_b)
 
     n_done = 0
+    done_lock = threading.Lock()
+    pool = ThreadPoolExecutor(max_workers=max(1, metric_workers))
+    futures = []
+
+    def score(r: _Record, est: np.ndarray):
+        nonlocal n_done
+        est = _np_reorder(est, r.sources)
+        metrics(mix=r.mix, clean=r.sources, estimate=est, key=r.key,
+                sample_rate=sample_rate)
+        if examples_dir and r.idx < n_save_ex:
+            wavio.write(os.path.join(examples_dir, f"{r.idx}_est.wav"),
+                        est[0], sample_rate)
+            wavio.write(os.path.join(examples_dir, f"{r.idx}_gt.wav"),
+                        r.sources[0], sample_rate)
+            wavio.write(os.path.join(examples_dir, f"{r.idx}_mix.wav"),
+                        r.mix, sample_rate)
+        with done_lock:
+            n_done += 1
+            count = n_done
+        if progress_every and count % progress_every == 0:
+            print(f"[{count}/{len(test_set)}] {metrics.get_mean()}")
+
+    n_dev = mesh.devices.size
 
     def flush(pad_len: int, recs: List[_Record]):
-        nonlocal n_done
-        rows = recs + [recs[-1]] * (eval_batch_size - len(recs))
+        # partial batches round up to n_dev x next-power-of-two rows, not
+        # the full eval batch: a fragmented bucket tail costs <=2x its
+        # utterances (at most log2 executables per bucket shape, all
+        # cached) while staying shardable over the mesh
+        per_dev = 1
+        while per_dev * n_dev < len(recs):
+            per_dev *= 2
+        bs = min(per_dev * n_dev, eval_batch_size)
+        rows = recs + [recs[-1]] * (bs - len(recs))
         mix_b = np.stack([np.pad(r.mix, (0, pad_len - r.length)) for r in rows])
         mix_b = jax.device_put(jnp.asarray(mix_b), shd)
         emb_b = None
@@ -99,25 +160,9 @@ def run_batched_eval(
             mouth_b = jax.device_put(jnp.asarray(mouth_b, jnp.float32), shd)
             emb_b = video_apply(mouth_b)
         est_b = np.asarray(fwd(mix_b, emb_b))
-
+        # hand scoring to the worker pool; the device starts the next batch
         for i, r in enumerate(recs):
-            est = est_b[i][:, : r.length]
-            _, reordered = loss_func(jnp.asarray(est[None]),
-                                     jnp.asarray(r.sources[None]),
-                                     return_ests=True)
-            est = np.asarray(reordered)[0]
-            metrics(mix=r.mix, clean=r.sources, estimate=est, key=r.key,
-                    sample_rate=sample_rate)
-            if examples_dir and r.idx < n_save_ex:
-                wavio.write(os.path.join(examples_dir, f"{r.idx}_est.wav"),
-                            est[0], sample_rate)
-                wavio.write(os.path.join(examples_dir, f"{r.idx}_gt.wav"),
-                            r.sources[0], sample_rate)
-                wavio.write(os.path.join(examples_dir, f"{r.idx}_mix.wav"),
-                            r.mix, sample_rate)
-            n_done += 1
-            if progress_every and n_done % progress_every == 0:
-                print(f"[{n_done}/{len(test_set)}] {metrics.get_mean()}")
+            futures.append(pool.submit(score, r, est_b[i][:, : r.length]))
 
     pending: Dict[int, List[_Record]] = {}
     for idx in range(len(test_set)):
@@ -136,3 +181,7 @@ def run_batched_eval(
 
     for pad_len in sorted(pending):
         flush(pad_len, pending[pad_len])
+
+    for f in futures:
+        f.result()  # propagate worker exceptions
+    pool.shutdown()

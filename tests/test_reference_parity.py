@@ -227,6 +227,19 @@ def test_convolutional_rnn_ffn_parity(rng):
     _forward_pair(ref_model, conf, mix, mouth)
 
 
+def test_multilayer_conv_encoder_parity(rng):
+    """ConvolutionalEncoder with layers=2 (dilated branch sum —
+    reference encoder.py:58-119) in a CTCNet-style time-domain config."""
+    conf = copy.deepcopy(reference_config("lrs2_CTCNet_16_layer.yaml")["audionet"])
+    conf["enc_dec_params"]["layers"] = 2
+    conf["audio_params"].update(repeats=2)
+    conf["video_params"].update(repeats=1, shared=True)
+    ref_model = _build_ref_avnet(conf)
+    mix = rng.standard_normal((1, 4000)).astype(np.float32)
+    mouth = rng.standard_normal((1, conf["pretrained_vout_chan"], 7)).astype(np.float32)
+    _forward_pair(ref_model, conf, mix, mouth)
+
+
 # ----------------------------------------------------------- layer-level
 def _layer_parity(ref_layer, our_layer, x, mapper, atol_rel=1e-4):
     from rtfs_net_tpu.utils.avnet_convert import _Writer
