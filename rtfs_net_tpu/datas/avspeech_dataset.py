@@ -47,6 +47,7 @@ class AVSpeechDataset:
         normalize_audio: bool = False,
         return_src_path: bool = False,
         audio_only: bool = False,
+        device_normalize_video: bool = False,
     ):
         if json_dir is None:
             raise ValueError("JSON DIR is None!")
@@ -60,7 +61,9 @@ class AVSpeechDataset:
         self.audio_only = audio_only
         self.seg_len = None if segment is None else int(segment * sample_rate)
         self.test = self.seg_len is None
-        self.video_pipeline = get_preprocessing_pipelines()[
+        self.device_normalize_video = device_normalize_video
+        self.video_pipeline = get_preprocessing_pipelines(
+            device_normalize=device_normalize_video)[
             "train" if segment is not None else "val"
         ]
 
@@ -105,7 +108,13 @@ class AVSpeechDataset:
 
     def _read_mouth(self, npz_path):
         frames = np.load(npz_path)["data"]
-        return self.video_pipeline(frames).astype(np.float32)
+        out = self.video_pipeline(frames)
+        if self.device_normalize_video and not self.test:
+            # train pipeline always normalizes on host (augmentation order)
+            return out.astype(np.float32)
+        if self.device_normalize_video:
+            return np.ascontiguousarray(out)  # raw uint8, 1 byte/pixel
+        return out.astype(np.float32)
 
     def __getitem__(self, idx: int):
         stop = self.seg_len

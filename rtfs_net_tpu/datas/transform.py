@@ -73,10 +73,21 @@ class HorizontalFlip:
         return frames
 
 
-def get_preprocessing_pipelines():
+# net affine of the reference chain Normalize(0,255) -> Normalize(.421,.165):
+# x/255/0.165 - 0.421/0.165 == (x - MOUTH_MEAN) / MOUTH_STD on raw uint8
+MOUTH_MEAN = 0.421 * 255.0
+MOUTH_STD = 0.165 * 255.0
+
+
+def get_preprocessing_pipelines(device_normalize: bool = False):
+    """Reference pipelines (``transform.py:151-167``). With
+    ``device_normalize=True`` the val/test pipelines keep frames as raw
+    uint8 (crop only) so the host->device transfer carries 1 byte/pixel;
+    apply ``normalize_mouths`` on-device after upload (the normalization
+    is one affine — see MOUTH_MEAN/MOUTH_STD)."""
     crop_size = (88, 88)
     mean, std = 0.421, 0.165
-    return {
+    pipelines = {
         "train": Compose([
             Normalize(0.0, 255.0),
             RandomCrop(crop_size),
@@ -86,3 +97,18 @@ def get_preprocessing_pipelines():
         "val": Compose([Normalize(0.0, 255.0), CenterCrop(crop_size), Normalize(mean, std)]),
         "test": Compose([Normalize(0.0, 255.0), CenterCrop(crop_size), Normalize(mean, std)]),
     }
+    if device_normalize:
+        crop_only = Compose([CenterCrop(crop_size)])
+        pipelines["val"] = crop_only
+        pipelines["test"] = crop_only
+    return pipelines
+
+
+def normalize_mouths(frames):
+    """On-device equivalent of the host Normalize chain, for uint8 frames
+    uploaded via the ``device_normalize`` pipelines. Works on jax or
+    numpy arrays; float inputs pass through unchanged (already
+    normalized on host)."""
+    if frames.dtype == np.uint8 or str(frames.dtype) == "uint8":
+        return (frames.astype(np.float32) - MOUTH_MEAN) / MOUTH_STD
+    return frames

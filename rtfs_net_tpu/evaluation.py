@@ -68,7 +68,9 @@ class _Record:
 
 
 def _pad_mouth(mouth: np.ndarray, tv: int) -> np.ndarray:
-    """Zero-pad (or crop) the frame axis (-3) to ``tv`` frames."""
+    """Pad (or crop) the frame axis (-3) to ``tv`` frames. Float frames
+    (host-normalized) pad with 0.0; uint8 frames (device-normalize path)
+    pad with the mean pixel so both normalize to the same zero frame."""
     t = mouth.shape[-3]
     if t == tv:
         return mouth
@@ -78,6 +80,10 @@ def _pad_mouth(mouth: np.ndarray, tv: int) -> np.ndarray:
         return mouth[tuple(sl)]
     pad = [(0, 0)] * mouth.ndim
     pad[-3] = (0, tv - t)
+    if mouth.dtype == np.uint8:
+        from .datas.transform import MOUTH_MEAN
+
+        return np.pad(mouth, pad, constant_values=int(round(MOUTH_MEAN)))
     return np.pad(mouth, pad)
 
 
@@ -157,7 +163,11 @@ def run_batched_eval(
         if video_apply is not None and rows[0].mouths is not None:
             tv = -(-pad_len * fps // sample_rate)
             mouth_b = np.stack([_pad_mouth(r.mouths, tv) for r in rows])
-            mouth_b = jax.device_put(jnp.asarray(mouth_b, jnp.float32), shd)
+            # uint8 frames upload at 1 byte/pixel (device_normalize
+            # pipelines); video_apply normalizes on-device
+            if mouth_b.dtype != np.uint8:
+                mouth_b = mouth_b.astype(np.float32)
+            mouth_b = jax.device_put(jnp.asarray(mouth_b), shd)
             emb_b = video_apply(mouth_b)
         est_b = np.asarray(fwd(mix_b, emb_b))
         # hand scoring to the worker pool; the device starts the next batch

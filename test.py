@@ -66,7 +66,11 @@ def main(conf):
             from rtfs_net_tpu.utils.torch_convert import load_video_backbone
 
             vvars = load_video_backbone(pretrain, vvars)
-        video_apply = jax.jit(lambda m: vmodel.apply(vvars, m))
+        # normalize_mouths is identity on host-normalized float frames and
+        # the on-device affine for raw uint8 frames (--device-normalize-video)
+        from rtfs_net_tpu.datas.transform import normalize_mouths
+
+        video_apply = jax.jit(lambda m: vmodel.apply(vvars, normalize_mouths(m)))
 
     test_set = AVSpeechDataset(
         conf["main_args"]["test_dir"],
@@ -74,6 +78,8 @@ def main(conf):
         sample_rate=conf["data"]["sample_rate"],
         segment=None,
         normalize_audio=conf["data"]["normalize_audio"],
+        device_normalize_video=bool(
+            conf["main_args"].get("device_normalize_video", False)),
     )
 
     save_dir = os.path.join(exp_dir, "results_new")
@@ -157,6 +163,14 @@ if __name__ == "__main__":
     parser.add_argument("--exp-dir", default=None)
     parser.add_argument("--n-save-ex", dest="n_save_ex", default=10, type=int)
     parser.add_argument("--bucket-size", dest="bucket_size", default=4000, type=int)
+    parser.add_argument("--eval-batch-size", dest="eval_batch_size", default=None,
+                        type=int, help="utterances per batch (default: "
+                                       "training batch_size x 2)")
+    parser.add_argument("--device-normalize-video", dest="device_normalize_video",
+                        default=False, type=bool,
+                        help="ship mouth frames to the device as raw uint8 "
+                             "(1 byte/pixel, 4x less input bandwidth) and "
+                             "normalize on-device")
     args, _ = parser.parse_known_args()
     with open(args.conf_dir) as f:
         def_conf = yaml.safe_load(f)

@@ -84,6 +84,51 @@ def test_batched_eval_matches_serial_av(rng, tmp_path):
     _rows_close(serial, batched)
 
 
+def test_batched_eval_uint8_mouths_match_float(rng, tmp_path):
+    """device_normalize path: raw uint8 frames uploaded + normalized
+    on-device produce (near-)identical metrics to host-normalized float
+    frames (1 byte/pixel instead of 4 on the host->device transfer)."""
+    from rtfs_net_tpu.datas.transform import (MOUTH_MEAN, MOUTH_STD,
+                                              normalize_mouths)
+
+    model = AVNet(**TINY_AUDIONET)
+
+    def encode(norm_frames):  # fake lip encoder on normalized frames
+        return jnp.swapaxes(norm_frames[:, 0, :, 0, :16], 1, 2)
+
+    video_apply_float = encode
+    video_apply_u8 = lambda m: encode(normalize_mouths(m))
+
+    raw = [(np.clip(rng.random((1, -(-L * 25 // SR), 88, 88)) * 255, 0, 255)
+            .astype(np.uint8)) for L in LENGTHS]
+    float_set, u8_set = [], []
+    for i, L in enumerate(LENGTHS):
+        src = rng.standard_normal(L).astype(np.float32)
+        mix = src + 0.5 * rng.standard_normal(L).astype(np.float32)
+        norm = ((raw[i].astype(np.float32) - MOUTH_MEAN) / MOUTH_STD)
+        float_set.append((mix, src, norm, f"utt{i}.wav"))
+        u8_set.append((mix, src, raw[i], f"utt{i}.wav"))
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000)),
+                           jnp.zeros((1, 16, 4)))
+
+    def run(test_set, va, tag):
+        path = os.path.join(str(tmp_path), f"m_{tag}.csv")
+        metrics = ALLMetricsTracker(save_file=path)
+        run_batched_eval(model=model, variables=variables, test_set=test_set,
+                         metrics=metrics,
+                         loss_func=PITLossWrapper(pairwise_neg_sisdr, pit_from="pw_mtx"),
+                         video_apply=va, bucket=2000, eval_batch_size=4,
+                         sample_rate=SR, progress_every=0)
+        metrics.final()
+        with open(path) as f:
+            return {r["snt_id"]: r for r in csv.DictReader(f) if r["snt_id"]}
+
+    a = run(float_set, video_apply_float, "float")
+    b = run(u8_set, video_apply_u8, "u8")
+    _rows_close(a, b)
+
+
 def test_pad_mouth():
     m = np.arange(2 * 3 * 2 * 2, dtype=np.float32).reshape(2, 3, 2, 2)
     p = _pad_mouth(m, 5)

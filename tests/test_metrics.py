@@ -62,6 +62,44 @@ def test_tracker_csv_and_improvements(rng, tmp_path):
                                    "si-snr_i", "pesq", "stoi"}
 
 
+def test_np_pit_matches_jax_losses(rng):
+    """The tracker's numpy PIT metrics equal the jax loss implementations
+    (n_src=2, both orderings)."""
+    import jax.numpy as jnp
+
+    from rtfs_net_tpu.losses import (PITLossWrapper, pairwise_neg_sisdr,
+                                     pairwise_neg_snr)
+    from rtfs_net_tpu.metrics.allwrapper import np_pit_neg_sdr
+
+    est = rng.standard_normal((2, 4000)).astype(np.float32)
+    ref = rng.standard_normal((2, 4000)).astype(np.float32)
+    for kind, pairwise in (("sisdr", pairwise_neg_sisdr),
+                           ("snr", pairwise_neg_snr)):
+        jax_val = float(PITLossWrapper(pairwise, pit_from="pw_mtx")(
+            jnp.asarray(est[None]), jnp.asarray(ref[None])))
+        np_val = np_pit_neg_sdr(est.astype(np.float64),
+                                ref.astype(np.float64), kind)
+        assert abs(jax_val - np_val) < 1e-3, (kind, jax_val, np_val)
+    # swapped estimate rows give the same (permutation-invariant) value
+    np_swap = np_pit_neg_sdr(est[::-1].astype(np.float64),
+                             ref.astype(np.float64), "sisdr")
+    np.testing.assert_allclose(
+        np_swap, np_pit_neg_sdr(est.astype(np.float64),
+                                ref.astype(np.float64), "sisdr"), rtol=1e-9)
+
+
+def test_np_reorder_two_sources(rng):
+    from rtfs_net_tpu.evaluation import _np_reorder
+
+    ref = rng.standard_normal((2, 3000)).astype(np.float32)
+    est = ref[::-1] + 0.01 * rng.standard_normal((2, 3000)).astype(np.float32)
+    out = _np_reorder(est, ref)
+    # after reordering, row i matches source i
+    for i in range(2):
+        c_match = np.dot(out[i], ref[i]) / (np.linalg.norm(out[i]) * np.linalg.norm(ref[i]))
+        assert c_match > 0.99, c_match
+
+
 def test_pesq_gated():
     from rtfs_net_tpu.metrics import pesq as pesq_fn
     x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
