@@ -61,7 +61,12 @@ def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
 
     L, B, H = u0.shape
     c0 = jnp.zeros((B, H), u0.dtype)
-    _, h = lax.scan(step, c0, (u0, u1, u2, x_skip), reverse=reverse)
+    # unroll=8: the model runs ~7.6k sequential SRU steps per forward and
+    # the while-loop per-iteration overhead dominates them on TPU;
+    # unrolling 8 steps per iteration is worth +13% full-model throughput
+    # (measured 682.9 -> 602.5 ms/batch at B=128; unroll=16 regresses)
+    _, h = lax.scan(step, c0, (u0, u1, u2, x_skip), reverse=reverse,
+                    unroll=8)
     return h
 
 
@@ -196,7 +201,7 @@ class LSTM(nn.Module):
                     return (hh, c), hh
 
                 init = (jnp.zeros((B, H), h.dtype), jnp.zeros((B, H), h.dtype))
-                _, out = lax.scan(step, init, u, reverse=(d == 1))
+                _, out = lax.scan(step, init, u, reverse=(d == 1), unroll=4)
                 outs.append(out)
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         if self.batch_first:
@@ -247,7 +252,7 @@ class GRU(nn.Module):
                     return h_new, h_new
 
                 init = jnp.zeros((B, H), h.dtype)
-                _, out = lax.scan(step, init, u, reverse=(d == 1))
+                _, out = lax.scan(step, init, u, reverse=(d == 1), unroll=4)
                 outs.append(out)
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         if self.batch_first:
