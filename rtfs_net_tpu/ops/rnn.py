@@ -36,6 +36,16 @@ from jax import lax
 from .conv import torch_conv_init
 
 
+# Trace-time scan-unroll factor (see _sru_direction_split). Read when the
+# surrounding jit traces; System sets it per step kind (train=1, eval=8).
+SCAN_UNROLL = 8
+
+
+def set_scan_unroll(n: int) -> None:
+    global SCAN_UNROLL
+    SCAN_UNROLL = int(n)
+
+
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
@@ -61,12 +71,14 @@ def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
 
     L, B, H = u0.shape
     c0 = jnp.zeros((B, H), u0.dtype)
-    # unroll=8: the model runs ~7.6k sequential SRU steps per forward and
-    # the while-loop per-iteration overhead dominates them on TPU;
-    # unrolling 8 steps per iteration is worth +13% full-model throughput
-    # (measured 682.9 -> 602.5 ms/batch at B=128; unroll=16 regresses)
+    # SCAN_UNROLL=8 (inference): the model runs ~7.6k sequential SRU steps
+    # per forward and the while-loop per-iteration overhead dominates them
+    # on TPU; unrolling 8 steps per iteration is worth +13% full-model
+    # throughput (682.9 -> 602.5 ms/batch at B=128; unroll=16 regresses).
+    # The TRAIN step sets it to 1 (system/core.py): differentiating the
+    # unrolled loop regressed the backward 56.9 -> 67 ms/step.
     _, h = lax.scan(step, c0, (u0, u1, u2, x_skip), reverse=reverse,
-                    unroll=8)
+                    unroll=SCAN_UNROLL)
     return h
 
 
@@ -201,7 +213,8 @@ class LSTM(nn.Module):
                     return (hh, c), hh
 
                 init = (jnp.zeros((B, H), h.dtype), jnp.zeros((B, H), h.dtype))
-                _, out = lax.scan(step, init, u, reverse=(d == 1), unroll=4)
+                _, out = lax.scan(step, init, u, reverse=(d == 1),
+                                  unroll=max(1, SCAN_UNROLL // 2))
                 outs.append(out)
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         if self.batch_first:
@@ -252,7 +265,8 @@ class GRU(nn.Module):
                     return h_new, h_new
 
                 init = jnp.zeros((B, H), h.dtype)
-                _, out = lax.scan(step, init, u, reverse=(d == 1), unroll=4)
+                _, out = lax.scan(step, init, u, reverse=(d == 1),
+                                  unroll=max(1, SCAN_UNROLL // 2))
                 outs.append(out)
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         if self.batch_first:

@@ -141,6 +141,12 @@ class System:
     # --------------------------------------------------------------- steps
     def _forward(self, params, batch_stats, mix, mouths, train: bool, rng,
                  video_params=None, video_stats=None):
+        # scan-unroll is a trace-time knob: unrolled recurrences win ~13%
+        # at inference but slow the differentiated backward — pick per
+        # step kind here, while this jit traces (ops/rnn.py SCAN_UNROLL)
+        from ..ops import rnn as _rnn
+
+        _rnn.set_scan_unroll(1 if train else 8)
         if self.compute_dtype is not None:
             mix = mix.astype(self.compute_dtype)
             if mouths is not None:
