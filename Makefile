@@ -26,3 +26,12 @@ dryrun:          ## multi-chip sharding dry run on 8 virtual CPU devices
 
 proof:           ## RTFS-4 overfit training proof on the real chip
 	python scripts/train_proof.py
+
+av-proof:        ## AV training proof (trainable video backbone) on chip
+	python scripts/av_train_proof.py
+
+zoo:             ## per-utterance latency of the 4 headline configs
+	python scripts/bench_zoo.py
+
+parity:          ## ground-truth parity vs /root/reference (needs mount)
+	python -m pytest tests/test_reference_parity.py -q
