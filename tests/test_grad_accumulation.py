@@ -80,6 +80,38 @@ def test_accumulation_trains(rng):
     assert losses[-1] < losses[0], losses
 
 
+def test_accumulation_with_trainable_video(rng):
+    """accum_steps and train_video_model compose: the accumulated scan
+    carries the {model, video} trainable dict and video params update."""
+    import jax.numpy as jnp
+
+    from rtfs_net_tpu.models.videomodels import AEVideoModel
+    from tests.test_system import TINY_AUDIONET
+
+    vmodel = AEVideoModel(in_channels=1, base_channels=4, num_layers=3)
+    vvars = vmodel.init(jax.random.PRNGKey(1), jnp.zeros((1, 1, 2, 88, 88)))
+    conf = {**TINY_AUDIONET, "pretrained_vout_chan": 16 * 11 * 11}
+    system = System(
+        AVNet(**conf), make_optimizer("adamw", lr=2e-3, weight_decay=0.1),
+        {"train": PITLossWrapper(pairwise_neg_snr),
+         "val": PITLossWrapper(pairwise_neg_sisdr)},
+        video_model=vmodel, video_variables=vvars,
+        train_video_model=True, accum_steps=2,
+    )
+    B, L, TV = 4, 2000, 2
+    src = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    mix = src + 0.5 * jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    mouths = jnp.asarray(rng.standard_normal((B, 1, TV, 88, 88)).astype(np.float32))
+    batch = (mix, src[:, None], mouths)
+    state = system.init_state(jax.random.PRNGKey(0), mix[:1], mouths[:1])
+    v0 = [np.asarray(x) for x in jax.tree.leaves(state.video_params)]
+    step = jax.jit(system.train_step)
+    state, m = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m["loss"]))
+    v1 = [np.asarray(x) for x in jax.tree.leaves(state.video_params)]
+    assert any(not np.array_equal(a, b) for a, b in zip(v0, v1))
+
+
 def test_indivisible_batch_raises(rng):
     system = _make_system(3)
     batch = _batch(rng, B=8)
