@@ -33,7 +33,7 @@ from typing import Any, Callable, Dict, List, Optional
 
 import numpy as np
 
-from .metrics.allwrapper import np_pit_neg_sdr, _np_neg_sdr
+from .metrics.allwrapper import _np_neg_sdr
 
 
 def _np_reorder(est: np.ndarray, src: np.ndarray) -> np.ndarray:
