@@ -33,34 +33,48 @@ import jax.numpy as jnp
 import flax.linen as nn
 from jax import lax
 
-from .conv import torch_conv_init
-
-
-# Trace-time scan-unroll factor (see _sru_direction_split). Read when the
-# surrounding jit traces; System sets it per step kind (train=1, eval=8).
-SCAN_UNROLL = 8
-
-
-def set_scan_unroll(n: int) -> None:
-    global SCAN_UNROLL
-    SCAN_UNROLL = int(n)
+from .conv import torch_conv_init, unfold_1d
 
 
 def _sigmoid(x):
     return jax.nn.sigmoid(x)
 
 
-def _sru_direction(u, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
+def windowed_projection(x, w, kernel_size: int, stride: int):
+    """``unfold_1d(x, k, s)`` → (L, B, C·k) → ``@ w`` computed as ONE k-wide
+    strided conv on the pre-unfold tensor.
+
+    The reference materializes the k×-expanded window tensor with
+    ``nn.Unfold`` and feeds it to the recurrence's dense layer-0 projection
+    (``rnn_layers.py:97,141-153``). That projection over unfolded windows
+    is mathematically a k-wide 1-D conv on the original (B, C, T) tensor,
+    so the (B, C·k, L) activation (the single biggest byte multiplier in
+    DualPathRNN — 8× for the RTFS configs) never needs to exist.
+
+    x: (B, C, T); w: (C·k, D) with rows ordered ``c*k + tap`` (the
+    ``unfold_1d`` layout). Returns u: (L, B, D).
+    """
+    _, C, _ = x.shape
+    rhs = w.reshape(C, kernel_size, -1).astype(x.dtype)  # (I, H, O)
+    u = lax.conv_general_dilated(
+        x, rhs, (stride,), "VALID",
+        dimension_numbers=("NCH", "IHO", "NHC"))  # (B, L, D)
+    return u.transpose(1, 0, 2)
+
+
+def _sru_direction(u, x_skip, v_f, v_r, b_f, b_r, reverse: bool,
+                   unroll: int = 1):
     """Scan one SRU direction.
 
     u: (L, B, k, H) projected inputs (k=3 or 4); x_skip: (L, B, H) highway
     input (raw x when k==3, u[...,3,:] when k==4). Returns h: (L, B, H).
     """
     return _sru_direction_split(u[:, :, 0], u[:, :, 1], u[:, :, 2], x_skip,
-                                v_f, v_r, b_f, b_r, reverse)
+                                v_f, v_r, b_f, b_r, reverse, unroll)
 
 
-def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
+def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r,
+                         reverse: bool, unroll: int = 1):
     def step(c_prev, inputs):
         u0_t, u1_t, u2_t, xs_t = inputs
         f_t = _sigmoid(u1_t + v_f * c_prev + b_f)
@@ -71,14 +85,16 @@ def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r, reverse: bool):
 
     L, B, H = u0.shape
     c0 = jnp.zeros((B, H), u0.dtype)
-    # SCAN_UNROLL=8 (inference): the model runs ~7.6k sequential SRU steps
-    # per forward and the while-loop per-iteration overhead dominates them
-    # on TPU; unrolling 8 steps per iteration is worth +13% full-model
+    # unroll=8 (inference): the model runs ~7.6k sequential SRU steps per
+    # forward and the while-loop per-iteration overhead dominates them on
+    # TPU; unrolling 8 steps per iteration is worth +13% full-model
     # throughput (682.9 -> 602.5 ms/batch at B=128; unroll=16 regresses).
-    # The TRAIN step sets it to 1 (system/core.py): differentiating the
-    # unrolled loop regressed the backward 56.9 -> 67 ms/step.
+    # Training passes 1: differentiating the unrolled loop regressed the
+    # backward 56.9 -> 67 ms/step. Callers pick per step kind (the value
+    # is a module-call argument, not a global — it participates in jit
+    # tracing like any other static).
     _, h = lax.scan(step, c0, (u0, u1, u2, x_skip), reverse=reverse,
-                    unroll=SCAN_UNROLL)
+                    unroll=unroll)
     return h
 
 
@@ -98,8 +114,14 @@ class SRU(nn.Module):
     backend: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x):
-        # x: (L, B, input_size) -> (L, B, hidden*ndir)
+    def __call__(self, x, window=None, unroll: int = 1):
+        # x: (L, B, input_size) -> (L, B, hidden*ndir).
+        # With window=(k, s), x is the PRE-unfold (B', C, T) tensor with
+        # C·k == input_size: layer 0's projection runs as a k-wide strided
+        # conv (windowed_projection) so the unfolded activation is never
+        # materialized. In the 4-chunk case (every active RTFS config) even
+        # the highway skip comes from the projection, so nothing else needs
+        # the windows.
         ndir = 2 if self.bidirectional else 1
         out_size = self.hidden_size * ndir
         h = x
@@ -118,8 +140,20 @@ class SRU(nn.Module):
             v = self.param(f"weight_c_l{layer}", nn.initializers.zeros, (2 * out_size,))
             b = self.param(f"bias_l{layer}", nn.initializers.zeros, (2 * out_size,))
 
-            L, B, _ = h.shape
-            u = (h.reshape(L * B, d_in) @ w.astype(h.dtype)).reshape(L, B, k, out_size)
+            if layer == 0 and window is not None:
+                k_w, s_w = window
+                u = windowed_projection(h, w, k_w, s_w)  # (L, B', k*out)
+                L, B = u.shape[:2]
+                u = u.reshape(L, B, k, out_size)
+                # k==3 (input_size == out_size) needs the raw unfolded
+                # sequence as the highway skip — fall back to materializing
+                # it (no active config hits this: C·k is 8× out there).
+                h_seq = (unfold_1d(h, k_w, s_w).transpose(2, 0, 1)
+                         if k == 3 else None)
+            else:
+                L, B, _ = h.shape
+                u = (h.reshape(L * B, d_in) @ w.astype(h.dtype)).reshape(L, B, k, out_size)
+                h_seq = h
             backend = self.backend or DEFAULT_SRU_BACKEND
             outs = []
             for d in range(ndir):
@@ -127,7 +161,7 @@ class SRU(nn.Module):
                 if k == 4:
                     skip = u[:, :, 3, sl]
                 else:
-                    skip = h[:, :, sl]
+                    skip = h_seq[:, :, sl]
                 v_f = v[sl].astype(h.dtype)
                 v_r = v[out_size + d * self.hidden_size:
                         out_size + (d + 1) * self.hidden_size].astype(h.dtype)
@@ -149,6 +183,7 @@ class SRU(nn.Module):
                     outs.append(_sru_direction_split(
                         u[:, :, 0, sl], u[:, :, 1, sl], u[:, :, 2, sl],
                         skip, v_f, v_r, b_f, b_r, reverse=(d == 1),
+                        unroll=unroll,
                     ))
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         return h
@@ -185,7 +220,7 @@ class LSTM(nn.Module):
     batch_first: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, window=None, unroll: int = 1):
         if self.batch_first:
             x = jnp.swapaxes(x, 0, 1)
         ndir = 2 if self.bidirectional else 1
@@ -200,8 +235,15 @@ class LSTM(nn.Module):
                 w_hh = self.param(f"weight_hh{sfx}", torch_conv_init(H), (4 * H, H))
                 b_ih = self.param(f"bias_ih{sfx}", torch_conv_init(H), (4 * H,))
                 b_hh = self.param(f"bias_hh{sfx}", torch_conv_init(H), (4 * H,))
-                L, B, _ = h.shape
-                u = (h.reshape(L * B, d_in) @ w_ih.T.astype(h.dtype) + (b_ih + b_hh).astype(h.dtype)).reshape(L, B, 4 * H)
+                if layer == 0 and window is not None:
+                    # h is the pre-unfold (B', C, T); fuse the unfold into
+                    # the input projection (see windowed_projection).
+                    u = windowed_projection(h, w_ih.T, *window) \
+                        + (b_ih + b_hh).astype(h.dtype)
+                    L, B = u.shape[:2]
+                else:
+                    L, B, _ = h.shape
+                    u = (h.reshape(L * B, d_in) @ w_ih.T.astype(h.dtype) + (b_ih + b_hh).astype(h.dtype)).reshape(L, B, 4 * H)
                 whh = w_hh.T.astype(h.dtype)
 
                 def step(carry, u_t):
@@ -214,7 +256,7 @@ class LSTM(nn.Module):
 
                 init = (jnp.zeros((B, H), h.dtype), jnp.zeros((B, H), h.dtype))
                 _, out = lax.scan(step, init, u, reverse=(d == 1),
-                                  unroll=max(1, SCAN_UNROLL // 2))
+                                  unroll=unroll)
                 outs.append(out)
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         if self.batch_first:
@@ -234,7 +276,7 @@ class GRU(nn.Module):
     batch_first: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, window=None, unroll: int = 1):
         if self.batch_first:
             x = jnp.swapaxes(x, 0, 1)
         ndir = 2 if self.bidirectional else 1
@@ -249,8 +291,13 @@ class GRU(nn.Module):
                 w_hh = self.param(f"weight_hh{sfx}", torch_conv_init(H), (3 * H, H))
                 b_ih = self.param(f"bias_ih{sfx}", torch_conv_init(H), (3 * H,))
                 b_hh = self.param(f"bias_hh{sfx}", torch_conv_init(H), (3 * H,))
-                L, B, _ = h.shape
-                u = (h.reshape(L * B, d_in) @ w_ih.T.astype(h.dtype) + b_ih.astype(h.dtype)).reshape(L, B, 3 * H)
+                if layer == 0 and window is not None:
+                    u = windowed_projection(h, w_ih.T, *window) \
+                        + b_ih.astype(h.dtype)
+                    L, B = u.shape[:2]
+                else:
+                    L, B, _ = h.shape
+                    u = (h.reshape(L * B, d_in) @ w_ih.T.astype(h.dtype) + b_ih.astype(h.dtype)).reshape(L, B, 3 * H)
                 whh = w_hh.T.astype(h.dtype)
                 bhh = b_hh.astype(h.dtype)
 
@@ -264,9 +311,9 @@ class GRU(nn.Module):
                     h_new = (1.0 - z) * n + z * h_prev
                     return h_new, h_new
 
-                init = jnp.zeros((B, H), h.dtype)
+                init = jnp.zeros((B, H), u.dtype)
                 _, out = lax.scan(step, init, u, reverse=(d == 1),
-                                  unroll=max(1, SCAN_UNROLL // 2))
+                                  unroll=unroll)
                 outs.append(out)
             h = jnp.concatenate(outs, axis=-1) if ndir > 1 else outs[0]
         if self.batch_first:

@@ -62,6 +62,7 @@ class System:
         data_axis: Optional[str] = None,
         compute_dtype=None,
         accum_steps: int = 1,
+        online_mix: bool = False,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -81,6 +82,11 @@ class System:
         # jitted step (lax.scan), trading step latency for peak HBM — any
         # global batch trains within memory
         self.accum_steps = int(accum_steps)
+        # energy-matched within-batch remix augmentation on the audio-only
+        # train path (reference core.py:96-98 applies it when
+        # config["training"]["online_mix"] and no video model); runs inside
+        # the jitted step with the step rng
+        self.online_mix = bool(online_mix)
 
     @property
     def _trains_video(self) -> bool:
@@ -141,12 +147,9 @@ class System:
     # --------------------------------------------------------------- steps
     def _forward(self, params, batch_stats, mix, mouths, train: bool, rng,
                  video_params=None, video_stats=None):
-        # scan-unroll is a trace-time knob: unrolled recurrences win ~13%
-        # at inference but slow the differentiated backward — pick per
-        # step kind here, while this jit traces (ops/rnn.py SCAN_UNROLL)
-        from ..ops import rnn as _rnn
-
-        _rnn.set_scan_unroll(1 if train else 8)
+        # scan-unroll (unrolled recurrences win ~13% at inference, hurt the
+        # differentiated backward) is picked inside DualPathRNN from the
+        # `train` flag — no cross-System global involved.
         if self.compute_dtype is not None:
             mix = mix.astype(self.compute_dtype)
             if mouths is not None:
@@ -178,6 +181,12 @@ class System:
         mix, targets, mouths = batch
         if targets.ndim == 2:
             targets = targets[:, None, :]
+        if self.online_mix and mouths is None:
+            # audio-only remix augmentation (reference core.py:96-98):
+            # the mixture is REPLACED by a fresh sum of energy-matched,
+            # batch-permuted sources
+            rng, mix_rng = jax.random.split(rng)
+            mix, targets = online_mixing_collate(mix_rng, targets)
         trains_video = self._trains_video
 
         def loss_fn(trainable):

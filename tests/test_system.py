@@ -163,6 +163,51 @@ def test_online_mixing_collate(rng):
     )
 
 
+def test_online_mix_wired_into_train_step(rng):
+    """``System(online_mix=True)`` remixes the audio-only batch INSIDE the
+    jitted train step (reference core.py:96-98): the loss becomes
+    independent of the dataloader's mixture (it is replaced by the
+    energy-matched re-sum of permuted sources), while the flag off makes it
+    depend on the mixture — and training still improves under the flag."""
+    conf = {**TINY_AUDIONET, "video_params": {}, "fusion_params": {},
+            "video_bn_params": {}}
+    model = AVNet(**conf)
+    losses = {"train": PITLossWrapper(pairwise_neg_snr),
+              "val": PITLossWrapper(pairwise_neg_sisdr)}
+
+    def mk(om):
+        return System(model, make_optimizer("adamw", lr=1e-3, weight_decay=0.1),
+                      losses, online_mix=om)
+
+    B, L = 4, 2000
+    src = jnp.asarray(rng.standard_normal((B, 1, L)).astype(np.float32))
+    mix_a = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    mix_b = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    sys_on, sys_off = mk(True), mk(False)
+    state = sys_on.init_state(jax.random.PRNGKey(0), mix_a, None)
+    key = jax.random.PRNGKey(5)
+
+    step_on = jax.jit(sys_on.train_step)
+    step_off = jax.jit(sys_off.train_step)
+    _, on_a = step_on(state, (mix_a, src, None), key)
+    _, on_b = step_on(state, (mix_b, src, None), key)
+    _, off_a = step_off(state, (mix_a, src, None), key)
+    _, off_b = step_off(state, (mix_b, src, None), key)
+    # flag ON: the batch the loss sees no longer contains the input mixture
+    assert float(on_a["loss"]) == float(on_b["loss"])
+    # flag OFF: it does
+    assert float(off_a["loss"]) != float(off_b["loss"])
+
+    # and the remixed objective still trains
+    ls = []
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        state, m = step_on(state, (mix_a, src, None), sub)
+        ls.append(float(m["loss"]))
+    assert np.isfinite(ls).all()
+    assert min(ls[-5:]) < ls[0]
+
+
 def test_bf16_mixed_precision_training():
     """compute_dtype=bfloat16: params stay fp32, loss finite, training
     still improves."""

@@ -111,7 +111,9 @@ def main(conf):
                     video_variables=video_vars,
                     train_video_model=conf["main_args"].get("train_video_model", False),
                     accum_steps=int(conf["training"].get("accum_steps")
-                                    or conf["main_args"].get("accum_steps") or 1))
+                                    or conf["main_args"].get("accum_steps") or 1),
+                    online_mix=bool(conf["training"].get("online_mix", False)
+                                    and video_model is None))
 
     # init from one sample batch
     sample = next(iter(val_loader))
