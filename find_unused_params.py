@@ -16,11 +16,11 @@ def main(args):
     import jax.numpy as jnp
 
     from rtfs_net_tpu.losses import PITLossWrapper, pairwise_neg_snr
-    from rtfs_net_tpu.models import AVNet
+    from rtfs_net_tpu.models import build_model
 
     with open(args.conf_dir) as f:
         conf = yaml.safe_load(f)
-    model = AVNet(**conf["audionet"])
+    model = build_model("AVNet", **conf["audionet"])
 
     rng = np.random.default_rng(0)
     mix = jnp.asarray(rng.standard_normal((1, 32000)).astype(np.float32))

@@ -50,7 +50,7 @@ def main(args):
 
     from rtfs_net_tpu.datas import DataLoader
     from rtfs_net_tpu.losses import PITLossWrapper, pairwise_neg_snr, pairwise_neg_sisdr
-    from rtfs_net_tpu.models import AVNet, videomodels
+    from rtfs_net_tpu.models import build_model, videomodels
     from rtfs_net_tpu.system import System, Trainer, make_optimizer
     from rtfs_net_tpu.utils.flops import count_params
 
@@ -58,7 +58,7 @@ def main(args):
         conf = yaml.safe_load(f)
 
     t0 = time.time()
-    model = AVNet(**conf["audionet"])
+    model = build_model("AVNet", **conf["audionet"])
     mix = jnp.zeros((1, 32000))
     mouth_emb0 = jnp.zeros((1, conf["audionet"]["pretrained_vout_chan"], 50))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), mix, mouth_emb0)

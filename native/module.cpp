@@ -12,6 +12,8 @@
 
 extern "C" {
 double rtfs_pesq_score(const float* ref, const float* deg, int n, int fs);
+double rtfs_pesq_score_opts(const float* ref, const float* deg, int n,
+                            int fs, int utt_align);
 uint32_t rtfs_crc32c(const uint8_t* data, size_t len);
 }
 
@@ -30,7 +32,9 @@ static int get_float_buffer(PyObject* obj, Py_buffer* view) {
 static PyObject* py_pesq(PyObject* self, PyObject* args) {
   PyObject *ref_obj, *deg_obj;
   int fs;
-  if (!PyArg_ParseTuple(args, "OOi", &ref_obj, &deg_obj, &fs)) return nullptr;
+  int utt_align = 1;  // optional: 0 = crude whole-signal delay only
+  if (!PyArg_ParseTuple(args, "OOi|i", &ref_obj, &deg_obj, &fs, &utt_align))
+    return nullptr;
   Py_buffer ref_view, deg_view;
   if (get_float_buffer(ref_obj, &ref_view) != 0) return nullptr;
   if (get_float_buffer(deg_obj, &deg_view) != 0) {
@@ -42,9 +46,9 @@ static PyObject* py_pesq(PyObject* self, PyObject* args) {
   if (nd < n) n = nd;
   double score;
   Py_BEGIN_ALLOW_THREADS
-  score = rtfs_pesq_score(static_cast<const float*>(ref_view.buf),
-                          static_cast<const float*>(deg_view.buf),
-                          static_cast<int>(n), fs);
+  score = rtfs_pesq_score_opts(static_cast<const float*>(ref_view.buf),
+                               static_cast<const float*>(deg_view.buf),
+                               static_cast<int>(n), fs, utt_align);
   Py_END_ALLOW_THREADS
   PyBuffer_Release(&ref_view);
   PyBuffer_Release(&deg_view);

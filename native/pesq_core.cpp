@@ -264,23 +264,118 @@ static int estimate_delay(const std::vector<double>& r,
   return best;
 }
 
+// --------------------------------------------- utterance time alignment
+// P.862 refines the crude whole-signal delay per UTTERANCE (speech
+// sections of the reference found by a crude energy VAD), so the degraded
+// signal's delay may vary across the file (codec time warping, packet
+// loss). Reproduced here: 4 ms subframe energy VAD with 200 ms gap
+// joining and 64 ms minimum section, then a bounded normalized-cross-
+// correlation search around the crude delay per utterance with a
+// confidence gate (falls back to the crude delay when correlation is
+// weak). The ITU's further splitting of utterances at interior delay
+// jumps is not reproduced; the deviation envelope is frozen as golden
+// regressions in tests/test_native.py.
+
+struct Utterance {
+  int start;
+  int end;  // [start, end) in samples
+};
+
+static std::vector<Utterance> detect_utterances(const std::vector<double>& r,
+                                                int fs) {
+  const int sub = std::max(1, fs / 250);  // 4 ms subframes
+  const int n_sub = static_cast<int>(r.size()) / sub;
+  if (n_sub == 0) return {};
+  std::vector<double> e(n_sub, 0.0);
+  double mean_e = 0.0;
+  for (int i = 0; i < n_sub; ++i) {
+    double acc = 0.0;
+    for (int j = 0; j < sub; ++j) acc += r[i * sub + j] * r[i * sub + j];
+    e[i] = acc;
+    mean_e += acc;
+  }
+  mean_e /= n_sub;
+  const double thr = mean_e / 10.0;
+  const int join = 50;     // 200 ms: speech sections closer than this merge
+  const int min_len = 16;  // 64 ms minimum utterance
+  std::vector<Utterance> utts;
+  int i = 0;
+  while (i < n_sub) {
+    if (e[i] <= thr) {
+      ++i;
+      continue;
+    }
+    int s = i, last_speech = i;
+    while (i < n_sub && (e[i] > thr || i - last_speech <= join)) {
+      if (e[i] > thr) last_speech = i;
+      ++i;
+    }
+    if (last_speech - s + 1 >= min_len)
+      utts.push_back({s * sub, (last_speech + 1) * sub});
+  }
+  return utts;
+}
+
+// bounded time-domain NCC search for one utterance's delay around `base`;
+// returns false (keep the crude delay) when the best correlation is weak
+static bool refine_delay(const std::vector<double>& r,
+                         const std::vector<double>& d, const Utterance& u,
+                         int base, int margin, int* out) {
+  const int n = static_cast<int>(r.size());
+  const int nd = static_cast<int>(d.size());
+  const int us = std::max(0, u.start), ue = std::min(u.end, n);
+  const int len = ue - us;
+  if (len < 64) return false;
+  double er = 0.0;
+  for (int t = us; t < ue; ++t) er += r[t] * r[t];
+  if (er <= 0.0) return false;
+  double best = -1.0;
+  int best_lag = base;
+  for (int lag = base - margin; lag <= base + margin; ++lag) {
+    const int lo = std::max(us + lag, 0), hi = std::min(ue + lag, nd);
+    if (hi - lo < len / 2) continue;
+    double dot = 0.0, ed = 0.0;
+    for (int t = lo; t < hi; ++t) {
+      const double rv = r[t - lag], dv = d[t];
+      dot += rv * dv;
+      ed += dv * dv;
+    }
+    if (ed <= 0.0) continue;
+    const double ncc = dot / std::sqrt(er * ed);
+    if (ncc > best) {
+      best = ncc;
+      best_lag = lag;
+    }
+  }
+  if (best < 0.3) return false;
+  *out = best_lag;
+  return true;
+}
+
 // ------------------------------------------------------ perceptual model
 // power spectra of hann-windowed frames -> bark band powers, Sp-scaled
 static std::vector<std::vector<double>> bark_frames(
     const std::vector<double>& x, int fs, int frame, int hop, int nfft,
-    const BarkMap& map, double sp) {
+    const BarkMap& map, double sp, int n_frames = -1,
+    const std::vector<int>* offsets = nullptr) {
+  // offsets: per-frame start shift in samples (the utterance-alignment
+  // delay map applied to the degraded signal); out-of-range samples read 0
   std::vector<double> win(frame);
   for (int i = 0; i < frame; ++i)
     win[i] = 0.5 * (1.0 - std::cos(2.0 * kPi * i / frame));
   int n = static_cast<int>(x.size());
-  int n_frames = n >= frame ? (n - frame) / hop + 1 : 0;
+  if (n_frames < 0) n_frames = n >= frame ? (n - frame) / hop + 1 : 0;
   std::vector<std::vector<double>> out(
       n_frames, std::vector<double>(map.n_bands, 0.0));
   std::vector<double> re(nfft), im(nfft);
   for (int t = 0; t < n_frames; ++t) {
     std::fill(re.begin(), re.end(), 0.0);
     std::fill(im.begin(), im.end(), 0.0);
-    for (int i = 0; i < frame; ++i) re[i] = x[t * hop + i] * win[i];
+    const int start = t * hop + (offsets ? (*offsets)[t] : 0);
+    for (int i = 0; i < frame; ++i) {
+      const int idx = start + i;
+      if (idx >= 0 && idx < n) re[i] = x[idx] * win[i];
+    }
     fft(re, im);
     for (int b = 0; b < map.n_bands; ++b) {
       double p = 0.0;
@@ -342,7 +437,8 @@ static double lp_mean(const std::vector<double>& v, double p) {
 
 // --------------------------------------------------------------- main
 // returns raw P.862 MOS in [-0.5, 4.5]
-double pesq_score(const float* ref_in, const float* deg_in, int n, int fs) {
+double pesq_score(const float* ref_in, const float* deg_in, int n, int fs,
+                  bool utt_align = true) {
   if (n < fs / 4) return -0.5;  // too short
   const int frame = (fs >= 16000) ? 512 : 256;
   const int hop = frame / 2;
@@ -365,22 +461,33 @@ double pesq_score(const float* ref_in, const float* deg_in, int n, int fs) {
   irs_filter(r, fs);
   irs_filter(d, fs);
 
-  // ---- delay compensation (whole-signal; see header) ----
+  // ---- time alignment: crude whole-signal cross-correlation delay,
+  // refined per speech utterance (P.862 utterance realignment) ----
   int max_lag = std::min(n / 4, fs / 2);
   int delay = estimate_delay(r, d, max_lag);
-  if (delay > 0) {
-    d.erase(d.begin(), d.begin() + delay);
-  } else if (delay < 0) {
-    r.erase(r.begin(), r.begin() - delay);
+  std::vector<int> dmap(r.size(), delay);
+  if (utt_align) {
+    const int margin = fs * 3 / 40;  // ±75 ms fine search window
+    for (const Utterance& u : detect_utterances(r, fs)) {
+      int refined;
+      if (refine_delay(r, d, u, delay, margin, &refined)) {
+        for (int t = u.start; t < u.end && t < (int)dmap.size(); ++t)
+          dmap[t] = refined;
+      }
+    }
   }
-  size_t common = std::min(r.size(), d.size());
-  r.resize(common);
-  d.resize(common);
 
-  auto rb = bark_frames(r, fs, frame, hop, nfft, map, sp);
-  auto db = bark_frames(d, fs, frame, hop, nfft, map, sp);
-  int T = static_cast<int>(rb.size());
+  // frame the REFERENCE timeline; each degraded frame reads at the
+  // ref-frame start plus that frame's (center-sample) delay, zero-padded
+  // outside the signal — with one global delay this reduces to the
+  // whole-signal shift
+  int T = (int)r.size() >= frame ? ((int)r.size() - frame) / hop + 1 : 0;
   if (T < 4) return -0.5;
+  std::vector<int> offs(T);
+  for (int t = 0; t < T; ++t)
+    offs[t] = dmap[std::min((int)r.size() - 1, t * hop + frame / 2)];
+  auto rb = bark_frames(r, fs, frame, hop, nfft, map, sp);
+  auto db = bark_frames(d, fs, frame, hop, nfft, map, sp, T, &offs);
   int B = map.n_bands;
 
   // ---- silent-frame detection (ITU: audible power < 1e7 at factor 100)
@@ -487,6 +594,13 @@ double pesq_score(const float* ref_in, const float* deg_in, int n, int fs) {
 extern "C" {
 double rtfs_pesq_score(const float* ref, const float* deg, int n, int fs) {
   return rtfs_native::pesq_score(ref, deg, n, fs);
+}
+
+// utt_align=0 disables the per-utterance realignment (crude whole-signal
+// delay only) — exposed so tests can demonstrate the alignment stage
+double rtfs_pesq_score_opts(const float* ref, const float* deg, int n,
+                            int fs, int utt_align) {
+  return rtfs_native::pesq_score(ref, deg, n, fs, utt_align != 0);
 }
 
 // slice-by-1 CRC32C (Castagnoli) for the tfevents writer fast path

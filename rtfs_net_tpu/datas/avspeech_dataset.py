@@ -109,12 +109,10 @@ class AVSpeechDataset:
     def _read_mouth(self, npz_path):
         frames = np.load(npz_path)["data"]
         out = self.video_pipeline(frames)
-        if self.device_normalize_video and not self.test:
-            # train pipeline always normalizes on host (augmentation order)
-            return out.astype(np.float32)
-        if self.device_normalize_video:
+        if self.device_normalize_video and self.test:
             return np.ascontiguousarray(out)  # raw uint8, 1 byte/pixel
-        return out.astype(np.float32)
+        # train/val pipelines already emit float32 (FusedNormalize)
+        return out.astype(np.float32, copy=False)
 
     def __getitem__(self, idx: int):
         stop = self.seg_len

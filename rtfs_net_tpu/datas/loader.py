@@ -1,20 +1,40 @@
-"""Host-side data loader: threaded prefetching batches of numpy arrays.
+"""Host-side data loader: prefetching batches of numpy arrays.
 
 Replaces torch ``DataLoader(num_workers=8, pin_memory, drop_last)``
-(reference ``train.py:35-56``). Audio decode + video transform are
-IO/numpy bound, so a thread pool saturates them without process fork
-overhead; batches are stacked into pinned-free numpy arrays ready for
-``jax.device_put`` (sharded placement handled by ``parallel.shard_batch``).
+(reference ``train.py:35-56``). Two worker backends:
+
+  * ``thread`` — a thread pool. Right for audio-only loading (ranged WAV
+    reads are IO-bound and release the GIL; measured ~5k utt/s) and for
+    single-core hosts, where a thread still overlaps decode with device
+    dispatch while processes would add IPC for zero parallelism.
+  * ``process`` — persistent spawn-based worker processes for the AV
+    path (npz mouth-track inflate + video transforms), which is CPU-bound
+    python/numpy and scales with cores only across processes — the same
+    wall the reference dodges with its multi-process torch DataLoader.
+    Workers decode AND collate whole batches, so IPC is one pickled
+    batch per step.
+
+``worker_type="auto"`` (default) picks ``process`` for AV datasets on
+multi-core hosts, ``thread`` otherwise. (Measured on the single-core dev
+host: AV decode is 6.3 ms/utt = 160 utt/s after the fused-normalize
+transform — above the 138 utt/s/chip device demand even before worker
+parallelism; see scripts/bench_loader.py.)
+
+Workers import only ``rtfs_net_tpu.datas`` (numpy-level code, no jax), so
+spawn never touches the TPU client. The pool persists across epochs —
+spawn+import costs are paid once, not per ``__iter__``.
 
 For data parallelism across hosts, pass ``shard_index/num_shards`` to
 partition the sample space per host (single-controller multi-host JAX).
 """
 from __future__ import annotations
 
+import multiprocessing as mp
+import pickle
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
-from typing import Callable, Iterator, Sequence
+from typing import Callable, Iterator, Optional, Sequence
 
 import numpy as np
 
@@ -32,6 +52,21 @@ def default_collate(samples: Sequence):
     return tuple(out)
 
 
+# ---- process-worker plumbing (module-level so spawn can pickle it) ----
+_WORKER_DS = None
+_WORKER_COLLATE = None
+
+
+def _worker_init(ds_bytes: bytes, collate_bytes: bytes) -> None:
+    global _WORKER_DS, _WORKER_COLLATE
+    _WORKER_DS = pickle.loads(ds_bytes)
+    _WORKER_COLLATE = pickle.loads(collate_bytes)
+
+
+def _worker_batch(idxs):
+    return _WORKER_COLLATE([_WORKER_DS[int(i)] for i in idxs])
+
+
 class DataLoader:
     def __init__(
         self,
@@ -45,6 +80,7 @@ class DataLoader:
         shard_index: int = 0,
         num_shards: int = 1,
         prefetch: int = 2,
+        worker_type: str = "auto",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -57,6 +93,21 @@ class DataLoader:
         self.shard_index = shard_index
         self.num_shards = num_shards
         self.prefetch = prefetch
+        if worker_type == "auto":
+            import os
+
+            # AV decode is CPU-bound python/numpy -> process workers, but
+            # only where cores exist: on a single-core host processes add
+            # IPC for zero parallelism (threads still overlap decode with
+            # device dispatch). Audio-only decode is IO-bound -> threads.
+            multicore = (os.cpu_count() or 1) > 2
+            worker_type = ("process"
+                           if multicore and not getattr(dataset, "audio_only", True)
+                           else "thread")
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type {worker_type!r}")
+        self.worker_type = worker_type
+        self._pool: Optional[mp.pool.Pool] = None
 
     def __len__(self):
         n = len(self.dataset) // self.num_shards
@@ -67,12 +118,35 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
     def _indices(self) -> np.ndarray:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(idx)
         return idx[self.shard_index::self.num_shards]
+
+    def _get_pool(self) -> mp.pool.Pool:
+        if self._pool is None:
+            ctx = mp.get_context("spawn")
+            self._pool = ctx.Pool(
+                self.num_workers,
+                initializer=_worker_init,
+                initargs=(pickle.dumps(self.dataset),
+                          pickle.dumps(self.collate_fn)),
+            )
+        return self._pool
 
     def __iter__(self) -> Iterator:
         idx = self._indices()
@@ -84,14 +158,44 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def producer():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for batch_idx in batches:
+        if self.worker_type == "process":
+            pool = self._get_pool()
+
+            def produce():
+                # bounded in-flight window = backpressure: the pool never
+                # runs more than prefetch+workers batches ahead of the
+                # consumer, so decoded batches can't pile up in memory
+                window = self.prefetch + self.num_workers
+                inflight: "queue.Queue" = queue.Queue()
+                it = iter(batches)
+                for _ in range(window):
+                    b = next(it, None)
+                    if b is None:
+                        break
+                    inflight.put(pool.apply_async(_worker_batch, (b,)))
+                while not inflight.empty():
                     if stop.is_set():
                         return
-                    samples = list(pool.map(self.dataset.__getitem__, batch_idx))
-                    q.put(self.collate_fn(samples))
-            q.put(None)
+                    q.put(inflight.get().get())
+                    b = next(it, None)
+                    if b is not None:
+                        inflight.put(pool.apply_async(_worker_batch, (b,)))
+        else:
+            def produce():
+                with ThreadPoolExecutor(self.num_workers) as tpool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            tpool.map(self.dataset.__getitem__, batch_idx))
+                        q.put(self.collate_fn(samples))
+
+        def producer():
+            try:
+                produce()
+                q.put(None)
+            except Exception as e:  # surface worker failures to the consumer
+                q.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -100,6 +204,8 @@ class DataLoader:
                 item = q.get()
                 if item is None:
                     break
+                if isinstance(item, Exception):
+                    raise item
                 yield item
         finally:
             stop.set()

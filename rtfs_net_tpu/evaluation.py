@@ -36,9 +36,21 @@ import numpy as np
 from .metrics.allwrapper import _np_neg_sdr
 
 
-def _np_reorder(est: np.ndarray, src: np.ndarray) -> np.ndarray:
+def _loss_sdr_type(loss_func) -> str:
+    """SDR flavor of the configured PIT eval loss, so reordering happens
+    under the same objective the reference reorders with
+    (``loss_func(..., return_ests=True)``, reference test.py:56-58) while
+    staying in the fast numpy host path. Falls back to sisdr (the
+    reference's eval loss) when the loss isn't a wrapped pairwise SDR."""
+    inner = getattr(loss_func, "loss_func", loss_func)
+    kw = getattr(inner, "keywords", None) or {}
+    return kw.get("sdr_type", "sisdr")
+
+
+def _np_reorder(est: np.ndarray, src: np.ndarray,
+                sdr_type: str = "sisdr") -> np.ndarray:
     """Reorder estimate rows to the PIT-best permutation vs the sources
-    under SI-SDR (reference test.py:56-58 return_ests reorder)."""
+    (reference test.py:56-58 return_ests reorder)."""
     n_src = src.shape[0]
     if n_src == 1:
         return est
@@ -46,7 +58,7 @@ def _np_reorder(est: np.ndarray, src: np.ndarray) -> np.ndarray:
     for i in range(n_src):
         for j in range(n_src):
             pairwise[i, j] = _np_neg_sdr(est[i].astype(np.float64),
-                                         src[j].astype(np.float64), "sisdr")
+                                         src[j].astype(np.float64), sdr_type)
     best_perm = min(itertools.permutations(range(n_src)),
                     key=lambda p: np.mean([pairwise[i, pi]
                                            for i, pi in enumerate(p)]))
@@ -127,9 +139,11 @@ def run_batched_eval(
     pool = ThreadPoolExecutor(max_workers=max(1, metric_workers))
     futures = []
 
+    reorder_sdr = _loss_sdr_type(loss_func)
+
     def score(r: _Record, est: np.ndarray):
         nonlocal n_done
-        est = _np_reorder(est, r.sources)
+        est = _np_reorder(est, r.sources, reorder_sdr)
         metrics(mix=r.mix, clean=r.sources, estimate=est, key=r.key,
                 sample_rate=sample_rate)
         if examples_dir and r.idx < n_save_ex:

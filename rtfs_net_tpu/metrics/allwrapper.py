@@ -30,15 +30,16 @@ _EPS = 1e-8
 
 
 def _np_neg_sdr(est: np.ndarray, ref: np.ndarray, kind: str) -> float:
-    """Single-pair negative SNR/SI-SDR (matches losses/sdr.py semantics:
-    zero-mean, eps 1e-8, 10log10)."""
+    """Single-pair negative SNR/SI-SDR/SD-SDR (matches losses/sdr.py
+    semantics: zero-mean, eps 1e-8, 10log10; sdsdr scales the target but
+    measures noise against the unscaled one)."""
     est = est - est.mean()
     ref = ref - ref.mean()
-    if kind == "sisdr":
+    if kind in ("sisdr", "sdsdr"):
         ref_scaled = (np.dot(est, ref) / (np.dot(ref, ref) + _EPS)) * ref
     else:  # snr
         ref_scaled = ref
-    e = est - ref_scaled
+    e = est - ref if kind in ("sdsdr", "snr") else est - ref_scaled
     ratio = (np.dot(ref_scaled, ref_scaled) + _EPS) / (np.dot(e, e) + _EPS)
     return -10.0 * np.log10(ratio)
 

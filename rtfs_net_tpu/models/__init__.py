@@ -24,3 +24,18 @@ def get(identifier):
             raise ValueError(f"Could not interpret model identifier: {identifier}")
         return cls
     raise ValueError(f"Could not interpret model identifier: {identifier}")
+
+
+def build_model(identifier, **kwargs):
+    """Build a model from config kwargs, silently dropping keys the class
+    doesn't declare. The reference AVNet swallows unknown YAML keys via
+    ``*args, **kwargs`` (``tdavnet.py:27-28``) and several legacy configs
+    carry dead keys (e.g. ``concat_first``); flax dataclass modules reject
+    them, so the config-driven build paths filter here."""
+    import dataclasses
+
+    cls = get(identifier)
+    if dataclasses.is_dataclass(cls):
+        fields = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in kwargs.items() if k in fields}
+    return cls(**kwargs)

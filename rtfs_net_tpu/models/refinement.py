@@ -55,6 +55,23 @@ class RefinementModule(nn.Module):
         else:
             self.video_net = video_cls(**_filter(video_cls, sep_kwargs(self.video_params, self.video_bn_chan)))
 
+        # Blocks holding BatchNorm running stats can't ride the repeat
+        # scan (nn.scan can't initialize a collection first created inside
+        # the body); unroll those configs instead. Static probe of the
+        # config: explicit BatchNorm norm_types, or layer classes that
+        # embed BN internally (CoTAttention — reference attention.py:419-427).
+        from collections.abc import Mapping
+
+        def has_bn(obj):
+            # flax freezes nested config dicts to FrozenDict in setup, so
+            # match any Mapping, not just dict
+            if isinstance(obj, Mapping):
+                return any(has_bn(v) for v in obj.values())
+            return isinstance(obj, str) and (
+                "BatchNorm" in obj or obj == "CoTAttention")
+
+        self._audio_has_batchnorm = has_bn(self.audio_params)
+
         fkw = {k: v for k, v in self.fusion_params.items()}
         self.crossmodal_fusion = MultiModalFusion(
             audio_bn_chan=self.audio_bn_chan,
@@ -79,7 +96,8 @@ class RefinementModule(nn.Module):
         start = self.fusion_repeats
         n_tail = self.audio_repeats
         use_scan = (self.scan_shared_repeats
-                    and self.audio_params.get("shared", False) and n_tail > 1)
+                    and self.audio_params.get("shared", False) and n_tail > 1
+                    and not self._audio_has_batchnorm)
         if use_scan and start == 0:
             # repeat 0 skips the residual add (reference
             # refinement_module.py:57-61) — peel it, scan the rest
@@ -87,8 +105,9 @@ class RefinementModule(nn.Module):
             start, n_tail = 1, n_tail - 1
         if use_scan and n_tail > 1:
             # every tail iteration is block(x + residual) with the SAME
-            # params -> one scan step traced once. (Audio blocks carry no
-            # mutable collections — every config's audio net uses gLN/LN4D.)
+            # params -> one scan step traced once. (Audio nets with
+            # BatchNorm are unrolled instead — see _audio_has_batchnorm;
+            # every active RTFS/CTCNet config is gLN/LN4D and scans.)
             def body(mod, carry, _):
                 x, res = carry
                 y = mod.audio_net.get_block(start)(x + res, train)

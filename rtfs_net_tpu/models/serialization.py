@@ -53,7 +53,7 @@ def load_model(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     """-> (model, variables, header). Model rebuilt via the registry from
     the embedded model_args (reference ``from_pretrain``,
     base_av_model.py:24-34)."""
-    from . import get as get_model
+    from . import build_model
 
     with open(path, "rb") as f:
         blob = f.read()
@@ -61,7 +61,7 @@ def load_model(path: str) -> Tuple[Any, Dict[str, Any], Dict[str, Any]]:
     (hlen,) = struct.unpack("<Q", blob[8:16])
     header = json.loads(blob[16:16 + hlen].decode())
     variables = serialization.msgpack_restore(blob[16 + hlen:])
-    model = get_model(header["model_name"])(**header["model_args"])
+    model = build_model(header["model_name"], **header["model_args"])
     return model, variables, header
 
 

@@ -47,7 +47,7 @@ def import_checkpoint(pth_path: str, conf: dict, exp_dir: str) -> str:
     import jax
     import jax.numpy as jnp
 
-    from rtfs_net_tpu.models import AVNet, serialization
+    from rtfs_net_tpu.models import build_model, serialization
     from rtfs_net_tpu.utils.avnet_convert import convert_avnet
 
     blob = torch.load(pth_path, map_location="cpu", weights_only=False)
@@ -73,7 +73,7 @@ def import_checkpoint(pth_path: str, conf: dict, exp_dir: str) -> str:
     else:
         audionet = dict(conf["audionet"])
 
-    model = AVNet(**audionet)
+    model = build_model("AVNet", **audionet)
     sr = int(conf.get("data", {}).get("sample_rate", 16000))
     mix = jnp.zeros((1, 2 * sr))
     mouth_emb = None

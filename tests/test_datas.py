@@ -113,6 +113,40 @@ def test_transforms():
     np.testing.assert_allclose(out_val, c)
 
 
+def test_loader_process_workers_match_thread(rng, tmp_path):
+    """worker_type='process' (the default for AV datasets — the npz+
+    transform path is GIL-bound) returns the same batches as threads, and
+    'auto' routes AV->process / audio-only->thread."""
+    import os
+
+    d = _make_manifest(tmp_path, rng, n_utts=3)
+    ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0)
+    expect_av = "process" if (os.cpu_count() or 1) > 2 else "thread"
+    assert DataLoader(ds, batch_size=2).worker_type == expect_av
+    ds_a = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0,
+                           audio_only=True)
+    assert DataLoader(ds_a, batch_size=2).worker_type == "thread"
+
+    dl_t = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                      worker_type="thread")
+    dl_p = DataLoader(ds, batch_size=2, shuffle=False, num_workers=2,
+                      worker_type="process")
+    bt = list(dl_t)
+    bp = list(dl_p)
+    assert len(bt) == len(bp)
+    for (mt, st, mot, kt), (mp_, sp_, mop, kp) in zip(bt, bp):
+        np.testing.assert_array_equal(mt, mp_)
+        np.testing.assert_array_equal(st, sp_)
+        assert kt == kp
+        # mouths: RandomCrop/HFlip are rng-driven per worker — compare
+        # shapes/dtype only
+        assert mot.shape == mop.shape and mot.dtype == mop.dtype
+    # pool persists across epochs
+    bp2 = list(dl_p)
+    assert len(bp2) == len(bp)
+    dl_p.close()
+
+
 def test_loader_batches_and_sharding(rng, tmp_path):
     d = _make_manifest(tmp_path, rng, n_utts=4)
     ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0)  # 8 items

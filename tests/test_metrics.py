@@ -71,21 +71,40 @@ def test_np_pit_matches_jax_losses(rng):
                                      pairwise_neg_snr)
     from rtfs_net_tpu.metrics.allwrapper import np_pit_neg_sdr
 
+    from rtfs_net_tpu.losses.sdr import pairwise_neg_sdsdr
+
     est = rng.standard_normal((2, 4000)).astype(np.float32)
     ref = rng.standard_normal((2, 4000)).astype(np.float32)
     for kind, pairwise in (("sisdr", pairwise_neg_sisdr),
-                           ("snr", pairwise_neg_snr)):
+                           ("snr", pairwise_neg_snr),
+                           ("sdsdr", pairwise_neg_sdsdr)):
         jax_val = float(PITLossWrapper(pairwise, pit_from="pw_mtx")(
             jnp.asarray(est[None]), jnp.asarray(ref[None])))
         np_val = np_pit_neg_sdr(est.astype(np.float64),
                                 ref.astype(np.float64), kind)
-        assert abs(jax_val - np_val) < 1e-3, (kind, jax_val, np_val)
+        # f32 (jax) vs f64 (numpy) — tolerance scales with the dB value
+        assert abs(jax_val - np_val) < 1e-3 * max(1.0, abs(np_val)), (
+            kind, jax_val, np_val)
     # swapped estimate rows give the same (permutation-invariant) value
     np_swap = np_pit_neg_sdr(est[::-1].astype(np.float64),
                              ref.astype(np.float64), "sisdr")
     np.testing.assert_allclose(
         np_swap, np_pit_neg_sdr(est.astype(np.float64),
                                 ref.astype(np.float64), "sisdr"), rtol=1e-9)
+
+
+def test_eval_reorders_under_configured_loss():
+    """run_batched_eval derives the reorder metric from the configured PIT
+    loss (reference test.py:56-58 reorders under loss_func)."""
+    from rtfs_net_tpu.evaluation import _loss_sdr_type
+    from rtfs_net_tpu.losses import (PITLossWrapper, pairwise_neg_sisdr,
+                                     pairwise_neg_snr)
+    from rtfs_net_tpu.losses.sdr import pairwise_neg_sdsdr
+
+    assert _loss_sdr_type(PITLossWrapper(pairwise_neg_sisdr)) == "sisdr"
+    assert _loss_sdr_type(PITLossWrapper(pairwise_neg_snr)) == "snr"
+    assert _loss_sdr_type(PITLossWrapper(pairwise_neg_sdsdr)) == "sdsdr"
+    assert _loss_sdr_type(lambda e, t: 0.0) == "sisdr"  # fallback
 
 
 def test_np_reorder_two_sources(rng):

@@ -90,3 +90,87 @@ def test_crc32c_matches_python():
 
     for blob in (b"", b"123456789", bytes(range(256)) * 7):
         assert nat.crc32c(blob) == crc32c_py(blob)
+
+
+# ---------------------------------------------------------------------------
+# Utterance-based fine time alignment (P.862 utterance realignment) + frozen
+# golden regressions. The Bark tables are formula-derived (pesq_core.cpp
+# header), so scores are not guaranteed bit-identical to the ITU reference
+# code; the goldens pin THIS implementation so refactors can't silently
+# shift the MOS scale (deviation envelope: the property tests above bound
+# absolute behavior, the goldens bound drift).
+
+
+def _speech_like(seed=3, fs=16000, dur=4.0, n_bursts=5):
+    """Deterministic speech-like signal: amplitude-modulated tone+noise
+    bursts separated by silences (so the crude VAD finds real utterances)."""
+    rng = np.random.default_rng(seed)
+    sig = np.zeros(int(fs * dur), np.float32)
+    bursts = []
+    for i in range(n_bursts):
+        s = int((0.1 + 0.8 * i) * fs)
+        e = s + int(0.45 * fs)
+        t = np.arange(e - s) / fs
+        env = np.sin(np.pi * np.arange(e - s) / (e - s)) ** 0.5
+        v = (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.3 * rng.standard_normal(e - s)) * env
+        sig[s:e] = v.astype(np.float32)
+        bursts.append((s, e))
+    return sig, bursts
+
+
+def test_pesq_utterance_realignment_recovers_shifted_utterance():
+    """Shift ONE utterance by 30 ms (a packet-loss-style delay change):
+    with per-utterance realignment the score stays near-perfect (pure
+    delay is not distortion under P.862); the crude whole-signal path
+    penalizes it by ~1 MOS."""
+    fs = 16000
+    sig, bursts = _speech_like()
+    deg = sig.copy()
+    s, e = bursts[2]
+    deg[s:e] = 0.0
+    deg[s + 480:e + 480] = sig[s:e]
+    aligned = nat.pesq(sig, deg, fs, 1)
+    crude = nat.pesq(sig, deg, fs, 0)
+    assert aligned > 4.4, aligned
+    assert crude < aligned - 0.8, (aligned, crude)
+
+
+def test_pesq_golden_regression_table():
+    """Frozen MOS over a deterministic degradation sweep — catches silent
+    scale drift from any refactor of the scorer."""
+    fs = 16000
+    sig, bursts = _speech_like()
+    rng = np.random.default_rng(99)
+    noise = rng.standard_normal(len(sig)).astype(np.float32)
+    sp = float(np.mean(sig ** 2))
+
+    got = {"identity": nat.pesq(sig, sig, fs)}
+    for snr in (30, 20, 10, 0):
+        npow = sp / (10 ** (snr / 10))
+        deg = (sig + noise * np.sqrt(npow / np.mean(noise ** 2))).astype(np.float32)
+        got[f"awgn_{snr}dB"] = nat.pesq(sig, deg, fs)
+    deg = np.convolve(sig, np.ones(5, np.float32) / 5, "same").astype(np.float32)
+    got["lowpass_ma5"] = nat.pesq(sig, deg, fs)
+    pk = float(np.abs(sig).max())
+    got["clip_30pct"] = nat.pesq(sig, np.clip(sig, -0.3 * pk, 0.3 * pk), fs)
+    deg = sig.copy()
+    s, e = bursts[2]
+    deg[s:e] = 0.0
+    deg[s + 480:e + 480] = sig[s:e]
+    got["utt3_shift30ms"] = nat.pesq(sig, deg, fs)
+    got["utt3_shift30ms_crude"] = nat.pesq(sig, deg, fs, 0)
+
+    golden = {
+        "identity": 4.500000,
+        "awgn_30dB": 4.429005,
+        "awgn_20dB": 4.278503,
+        "awgn_10dB": 3.886220,
+        "awgn_0dB": 3.211834,
+        "lowpass_ma5": 4.393844,
+        "clip_30pct": 4.034036,
+        "utt3_shift30ms": 4.498237,
+        "utt3_shift30ms_crude": 3.486533,
+    }
+    for k, v in golden.items():
+        assert abs(got[k] - v) < 5e-3, (k, got[k], v)

@@ -88,14 +88,14 @@ def main(conf):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from rtfs_net_tpu.models import AVNet
+    from rtfs_net_tpu.models import build_model
     from rtfs_net_tpu.losses import PITLossWrapper, pairwise_neg_snr, pairwise_neg_sisdr
     from rtfs_net_tpu.system import System, Trainer, make_optimizer
 
     train_loader, val_loader = build_dataloaders(conf)
 
     video_model, video_vars, v_params = build_video_model(conf)
-    model = AVNet(**conf["audionet"])
+    model = build_model("AVNet", **conf["audionet"])
     optimizer = make_optimizer(**conf["optim"])
 
     exp_dir = os.path.join(conf["log"]["path"], conf["log"]["exp_name"])
