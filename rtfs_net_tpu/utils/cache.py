@@ -1,4 +1,4 @@
-"""Persistent XLA compilation cache.
+"""Persistent XLA compilation cache + workaround XLA flags.
 
 Full-model compiles take minutes through remote-TPU tunnels; enabling
 jax's persistent cache makes every rerun of train/test/bench start hot.
@@ -9,8 +9,30 @@ from __future__ import annotations
 
 import os
 
+# XLA's space-to-batch conv rewrite CRASHES the TPU compiler (libtpu
+# 2026-08: `space_to_batch_converter.cc` CHECK failure, "limit index
+# (32000) must be <= dimension size (31936)") on the backward of the
+# CTCNet time-domain encoder/decoder convs (k=21 s=10 over 32 k samples,
+# reference encoder.py:58-119). Disabling the pass fixes the crash AND
+# measured FASTER everywhere it was tried: RTFS-4 train 55.0 -> 48.9
+# ms/step (B=4), B=16 116 -> 107.2 ms/step, AV-with-backbone train
+# 55.5 -> 52.4 ms/step, serving unchanged (245.0 vs 245.4 utt/s).
+_WORKAROUND_FLAGS = "--xla_disable_hlo_passes=space-to-batch-converter"
+
+
+def configure_xla_flags() -> None:
+    """Append workaround flags to XLA_FLAGS (must run before the jax
+    backend initializes; idempotent; set RTFS_NO_XLA_WORKAROUNDS=1 to
+    opt out)."""
+    if os.environ.get("RTFS_NO_XLA_WORKAROUNDS") == "1":
+        return
+    cur = os.environ.get("XLA_FLAGS", "")
+    if "space-to-batch-converter" not in cur:
+        os.environ["XLA_FLAGS"] = (cur + " " + _WORKAROUND_FLAGS).strip()
+
 
 def enable_compilation_cache(path: str | None = None) -> str | None:
+    configure_xla_flags()
     loc = path or os.environ.get("RTFS_COMPILATION_CACHE",
                                  os.path.expanduser("~/.cache/rtfs_tpu_xla"))
     if loc == "0":

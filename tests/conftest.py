@@ -7,6 +7,11 @@ so the platform is forced through jax.config before any array op runs.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# CPU compiles are fast — keep tests out of the persistent XLA cache.
+# (CLI tests call enable_compilation_cache() in-process; concurrent writes
+# to the shared cache dir from a parallel TPU bench process segfaulted
+# jax's cache writer mid-suite.)
+os.environ["RTFS_COMPILATION_CACHE"] = "0"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
