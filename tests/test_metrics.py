@@ -119,6 +119,54 @@ def test_np_reorder_two_sources(rng):
         assert c_match > 0.99, c_match
 
 
+def test_stoi_golden_regression_table():
+    """Frozen STOI/eSTOI over a deterministic degradation sweep — pins this
+    implementation so refactors can't silently shift scores (the property
+    tests above bound absolute behavior, the goldens bound drift). Mirrors
+    the PESQ golden table in tests/test_native.py."""
+    fs = 16000
+    rng = np.random.default_rng(3)
+    sig = np.zeros(int(fs * 4.0), np.float32)
+    for i in range(5):
+        s = int((0.1 + 0.8 * i) * fs)
+        e = s + int(0.45 * fs)
+        t = np.arange(e - s) / fs
+        env = np.sin(np.pi * np.arange(e - s) / (e - s)) ** 0.5
+        v = (np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+             + 0.3 * rng.standard_normal(e - s)) * env
+        sig[s:e] = v.astype(np.float32)
+
+    nrng = np.random.default_rng(99)
+    noise = nrng.standard_normal(len(sig)).astype(np.float32)
+    sp = float(np.mean(sig ** 2))
+    got = {"identity": stoi(sig, sig, fs)}
+    for snr in (20, 10, 0, -5):
+        npow = sp / (10 ** (snr / 10))
+        deg = (sig + noise * np.sqrt(npow / np.mean(noise ** 2))).astype(np.float32)
+        got[f"awgn_{snr}dB"] = stoi(sig, deg, fs)
+        got[f"awgn_{snr}dB_ext"] = stoi(sig, deg, fs, extended=True)
+    deg = np.convolve(sig, np.ones(5, np.float32) / 5, "same").astype(np.float32)
+    got["lowpass_ma5"] = stoi(sig, deg, fs)
+    pk = float(np.abs(sig).max())
+    got["clip_30pct"] = stoi(sig, np.clip(sig, -0.3 * pk, 0.3 * pk), fs)
+
+    golden = {
+        "identity": 1.000000,
+        "awgn_20dB": 0.990065,
+        "awgn_20dB_ext": 0.947491,
+        "awgn_10dB": 0.904169,
+        "awgn_10dB_ext": 0.681835,
+        "awgn_0dB": 0.578717,
+        "awgn_0dB_ext": 0.259854,
+        "awgn_-5dB": 0.436740,
+        "awgn_-5dB_ext": 0.150355,
+        "lowpass_ma5": 0.988940,
+        "clip_30pct": 0.846871,
+    }
+    for k, v in golden.items():
+        assert abs(got[k] - v) < 1e-4, (k, got[k], v)
+
+
 def test_pesq_gated():
     from rtfs_net_tpu.metrics import pesq as pesq_fn
     x = np.random.default_rng(0).standard_normal(16000).astype(np.float32)
