@@ -31,14 +31,15 @@ B, L, TV = 128, 32000, 50
 DT = jnp.bfloat16
 
 
-def bench(name, fn, arg_shapes, iters=6):
+def bench(name, fn, arg_shapes, variables, iters=6):
     rng = np.random.default_rng(0)
     args = [jnp.asarray(rng.standard_normal(s).astype(np.float32)).astype(DT)
             for s in arg_shapes]
-    jfn = jax.jit(fn)
-    jax.block_until_ready(jfn(*args))  # compile
+    jfn = jax.jit(fn)  # variables passed as an ARG, not a jit constant
+    jax.block_until_ready(jfn(variables, *args))  # compile
     stats = timed(jfn,
-                  make_args=lambda i: (args[0] + jnp.asarray(i * 1e-6, DT),
+                  make_args=lambda i: (variables,
+                                       args[0] + jnp.asarray(i * 1e-6, DT),
                                        *args[1:]),
                   iters=iters)
     del args
@@ -65,33 +66,33 @@ def main():
     sep_s = (B, 1, 256, 251, 129)
 
     t = {}
-    t["full"] = bench("FULL forward", lambda m, mo: model.apply(variables, m, mo),
-                      [(B, L), (B, 512, TV)])
-    t["encoder"] = bench("STFTEncoder", lambda m: model.apply(
-        variables, m, method=lambda md, x: md.encoder(x, False)), [(B, L)])
-    t["audio_bn"] = bench("audio bottleneck", lambda e: model.apply(
-        variables, e, method=lambda md, x: md.audio_bottleneck(x, False)), [emb_s])
-    t["video_bn"] = bench("video bottleneck", lambda v: model.apply(
-        variables, v, method=lambda md, x: md.video_bottleneck(x, False)), [video_s])
+    t["full"] = bench("FULL forward", lambda v, m, mo: model.apply(v, m, mo),
+                      [(B, L), (B, 512, TV)], variables)
+    t["encoder"] = bench("STFTEncoder", lambda v, m: model.apply(
+        v, m, method=lambda md, x: md.encoder(x, False)), [(B, L)], variables)
+    t["audio_bn"] = bench("audio bottleneck", lambda v, e: model.apply(
+        v, e, method=lambda md, x: md.audio_bottleneck(x, False)), [emb_s], variables)
+    t["video_bn"] = bench("video bottleneck", lambda v, vi: model.apply(
+        v, vi, method=lambda md, x: md.video_bottleneck(x, False)), [video_s], variables)
     t["refine"] = bench("RefinementModule (4 repeats + video + fusion)",
-                        lambda a, v: model.apply(variables, a, v,
-                        method=lambda md, a, v: md.refinement_module(a, v, False)),
-                        [audio_s, video_s])
-    t["audio_blk"] = bench("  one audio TDANetBlock", lambda a: model.apply(
-        variables, a, method=lambda md, a:
-        md.refinement_module.audio_net.get_block(0)(a, False)), [audio_s])
-    t["video_net"] = bench("  video TDANet (1 repeat)", lambda v: model.apply(
-        variables, v, method=lambda md, v:
-        md.refinement_module.video_net.get_block(0)(v, False)), [video_s])
-    t["fusion"] = bench("  crossmodal fusion block", lambda a, v: model.apply(
-        variables, a, v, method=lambda md, a, v:
-        md.refinement_module.crossmodal_fusion.get_fusion_block(0)(a, v, False)[0]),
-        [audio_s, video_s])
-    t["maskgen"] = bench("mask generator", lambda r, e: model.apply(
-        variables, r, e, method=lambda md, r, e: md.mask_generator(r, e, False)),
-        [audio_s, emb_s])
-    t["decoder"] = bench("STFTDecoder", lambda s: model.apply(
-        variables, s, method=lambda md, s: md.decoder(s, (B, L), False)), [sep_s])
+                        lambda v, a, vi: model.apply(v, a, vi,
+                        method=lambda md, a, vi: md.refinement_module(a, vi, False)),
+                        [audio_s, video_s], variables)
+    t["audio_blk"] = bench("  one audio TDANetBlock", lambda v, a: model.apply(
+        v, a, method=lambda md, a:
+        md.refinement_module.audio_net.get_block(0)(a, False)), [audio_s], variables)
+    t["video_net"] = bench("  video TDANet (1 repeat)", lambda v, vi: model.apply(
+        v, vi, method=lambda md, vi:
+        md.refinement_module.video_net.get_block(0)(vi, False)), [video_s], variables)
+    t["fusion"] = bench("  crossmodal fusion block", lambda v, a, vi: model.apply(
+        v, a, vi, method=lambda md, a, vi:
+        md.refinement_module.crossmodal_fusion.get_fusion_block(0)(a, vi, False)[0]),
+        [audio_s, video_s], variables)
+    t["maskgen"] = bench("mask generator", lambda v, r, e: model.apply(
+        v, r, e, method=lambda md, r, e: md.mask_generator(r, e, False)),
+        [audio_s, emb_s], variables)
+    t["decoder"] = bench("STFTDecoder", lambda v, s: model.apply(
+        v, s, method=lambda md, s: md.decoder(s, (B, L), False)), [sep_s], variables)
 
     accounted = (t["encoder"] + t["audio_bn"] + t["video_bn"] + t["refine"]
                  + t["maskgen"] + t["decoder"])

@@ -1,0 +1,109 @@
+"""AOT serving export: StableHLO artifact round-trip + CLI
+(rtfs_net_tpu/export.py, scripts/export_serving.py).
+
+The artifact contract: ``jax.export.deserialize(blob).call(mix, mouth)``
+reproduces ``model.apply`` at the exported shapes (numerically — the
+artifact is a separate XLA compilation, so fusion choices may differ at
+the last ulp), with no model zoo / registry / config needed at load time.
+"""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from rtfs_net_tpu.export import export_serving, load_serving, save_serving
+from rtfs_net_tpu.models import AVNet
+from rtfs_net_tpu.models.serialization import save_model
+
+from tests.test_system import TINY_AUDIONET
+
+B, L, SR = 2, 4000, 8000
+EMB, TV = 16, 4
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = AVNet(**TINY_AUDIONET)
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((1, L)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((1, EMB, TV)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), mix, mouth)
+    return model, variables
+
+
+def test_export_roundtrip_matches_apply(tiny_model, tmp_path):
+    model, variables = tiny_model
+    exported = export_serving(model, variables, B, L, mouth_shape=(EMB, TV),
+                              compute_dtype=jnp.float32)
+    path = str(tmp_path / "model.rtfsx")
+    save_serving(path, exported, B, L, mouth_shape=(EMB, TV),
+                 compute_dtype="float32")
+
+    loaded, header = load_serving(path)
+    assert header["batch_size"] == B
+    assert header["mouth_shape"] == [EMB, TV]
+
+    rng = np.random.default_rng(1)
+    mix = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((B, EMB, TV)).astype(np.float32))
+    want = model.apply(variables, mix, mouth)
+    got = loaded.call(mix, mouth)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_export_audio_only_convention(tiny_model, tmp_path):
+    conf = {**TINY_AUDIONET, "video_params": {}, "fusion_params": {},
+            "video_bn_params": {}, "pretrained_vout_chan": -1}
+    model = AVNet(**conf)
+    rng = np.random.default_rng(0)
+    mix = jnp.asarray(rng.standard_normal((1, L)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), mix)
+    exported = export_serving(model, variables, B, L, mouth_shape=None,
+                              compute_dtype=jnp.float32)
+    path = str(tmp_path / "audio.rtfsx")
+    save_serving(path, exported, B, L, compute_dtype="float32")
+    loaded, header = load_serving(path)
+    assert header["mouth_shape"] is None
+    mix = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(mix)), np.asarray(model.apply(variables, mix)),
+        atol=1e-5, rtol=1e-4)
+
+
+def test_export_pins_shapes(tiny_model):
+    model, variables = tiny_model
+    exported = export_serving(model, variables, B, L, mouth_shape=(EMB, TV),
+                              compute_dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    bad_mix = jnp.asarray(rng.standard_normal((B + 1, L)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((B + 1, EMB, TV)).astype(np.float32))
+    with pytest.raises(Exception):
+        exported.call(bad_mix, mouth)
+
+
+def test_export_cli(tiny_model, tmp_path, monkeypatch):
+    model, variables = tiny_model
+    ckpt = str(tmp_path / "exp" / "best_model.ckpt")
+    save_model(ckpt, "AVNet", dict(TINY_AUDIONET), variables)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import export_serving as cli
+
+    out = cli.main(["--ckpt", ckpt, "--batch-size", str(B),
+                    "--segment", str(L / SR), "--sample-rate", str(SR),
+                    "--mouth-shape", f"{EMB},{TV}", "--dtype", "float32"])
+    assert os.path.exists(out)
+    loaded, header = load_serving(out)
+    assert header["model_name"] == "AVNet"
+    rng = np.random.default_rng(3)
+    mix = jnp.asarray(rng.standard_normal((B, L)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((B, EMB, TV)).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(loaded.call(mix, mouth)),
+        np.asarray(model.apply(variables, mix, mouth)),
+        atol=1e-5, rtol=1e-4)
