@@ -17,6 +17,7 @@ even kernels, which pads asymmetrically: left = total//2, right = rest):
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence, Tuple, Union
 
 import jax
@@ -73,6 +74,30 @@ def xavier_uniform_init():
     return init
 
 
+def _use_pallas_dw(x_shape, kernel, stride, dilation, groups,
+                   in_chan, out_chan, ndim, pads) -> bool:
+    """Route eligible depthwise convs to the Pallas stencil kernel.
+
+    OFF by default — measured on v5e at the serving hot shape
+    (128, 64, 251, 129) bf16 the stencil kernel runs 6.7 ms vs XLA's
+    3.95 ms (roofline 1.3 ms): the k×k taps become sublane-misaligned
+    F-axis shifts of the VMEM tile, and Mosaic's shift+FMA sequence is
+    slower than XLA's conv lowering. Kept as verified infrastructure
+    (exact fwd/grad parity incl. custom_vjp) behind RTFS_PALLAS_DW=1 on
+    TPU / RTFS_PALLAS_DW_INTERPRET=1 elsewhere (interpret mode, slow —
+    correctness tests only)."""
+    backend = jax.default_backend()
+    if backend == "tpu":
+        if os.environ.get("RTFS_PALLAS_DW", "0") != "1":
+            return False
+    elif os.environ.get("RTFS_PALLAS_DW_INTERPRET", "0") != "1":
+        return False
+    from .pallas.dw_conv import pallas_dw_supported
+
+    return pallas_dw_supported(x_shape, kernel, stride, dilation, groups,
+                               in_chan, out_chan, ndim, pads)
+
+
 class Conv(nn.Module):
     """torch ``nn.Conv{1,2,3}d`` equivalent on (B, C, *spatial)."""
 
@@ -113,6 +138,22 @@ class Conv(nn.Module):
                 b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
                 y = y + b.reshape((1, -1) + (1,) * nd).astype(x.dtype)
             return y
+
+        # k×k stride-1 depthwise convs at serving batch: Pallas stencil
+        # kernel (each input tile read once into VMEM) — XLA's grouped-conv
+        # lowering moves these at ~1/3 of the HBM roofline (see
+        # ops/pallas/dw_conv.py). Same math, f32 tap accumulation;
+        # training grads are the standard XLA conv expressions (custom_vjp).
+        if _use_pallas_dw(x.shape, kernel, stride, dilation, self.groups,
+                          self.in_chan, self.out_chan, nd, pads):
+            from .pallas.dw_conv import dw_conv2d_same
+
+            dtype = self.dtype or x.dtype
+            y = dw_conv2d_same(x.astype(dtype), w, tuple(pads))
+            if self.use_bias:
+                b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
+                y = y + b.reshape((1, -1) + (1,) * nd).astype(y.dtype)
+            return y.astype(x.dtype)
 
         dn = lax.conv_dimension_numbers(
             x.shape, wshape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))

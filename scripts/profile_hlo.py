@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Capture a device trace of the serving forward and print the top HLO ops.
+
+Uses jax.profiler to write an xplane trace, then xprof's converters to
+extract per-op self times — the ground-truth breakdown that component
+ablation (scripts/profile_serving.py) can only approximate through
+per-stage tunnel overhead.
+
+    python scripts/profile_hlo.py [--batch 128] [--top 40]
+"""
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+
+def capture(trace_dir: str, batch: int, conf_path: str):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    from rtfs_net_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+    from rtfs_net_tpu.models import AVNet
+
+    with open(conf_path) as f:
+        conf = yaml.safe_load(f)
+    model = AVNet(**conf["audionet"])
+    rng = np.random.default_rng(0)
+    L, TV = 32000, 50
+    DT = jnp.bfloat16
+    mix1 = jnp.asarray(rng.standard_normal((1, L)).astype(np.float32))
+    mouth1 = jnp.asarray(rng.standard_normal((1, 512, TV)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), mix1, mouth1)
+
+    fwd = jax.jit(lambda v, m, mo: model.apply(v, m.astype(DT), mo.astype(DT)))
+    mix = jnp.asarray(rng.standard_normal((batch, L)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((batch, 512, TV)).astype(np.float32))
+    jax.block_until_ready(fwd(variables, mix, mouth))  # compile outside trace
+
+    with jax.profiler.trace(trace_dir):
+        for i in range(3):
+            y = fwd(variables, mix + np.float32(i) * 1e-6, mouth)
+        jax.block_until_ready(y)
+
+
+def report(trace_dir: str, top: int):
+    xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    assert xs, f"no xplane under {trace_dir}"
+    xs.sort(key=os.path.getmtime)
+    from xprof.convert import raw_to_tool_data as rtd
+
+    params = {"tqx": "out:json;"}
+    data, _ = rtd.xspace_to_tool_data([xs[-1]], "hlo_stats", params)
+    if isinstance(data, bytes):
+        data = data.decode()
+    obj = json.loads(data)
+    rows = obj["table"]["rows"] if "table" in obj else obj["rows"]
+    cols = [c["label"] for c in (obj["table"]["cols"] if "table" in obj else obj["cols"])]
+    idx = {c: i for i, c in enumerate(cols)}
+
+    def val(r, name):
+        return r["c"][idx[name]]["v"]
+
+    recs = []
+    for r in rows:
+        recs.append({
+            "cat": val(r, "HLO op category") if "HLO op category" in idx else "",
+            "name": (val(r, "HLO op name") if "HLO op name" in idx else "")[:60],
+            "self_us": float(val(r, "Total self time (us)")) if "Total self time (us)" in idx else 0.0,
+            "occ": int(val(r, "#Occurrences")) if "#Occurrences" in idx else 0,
+        })
+    recs.sort(key=lambda x: -x["self_us"])
+    tot = sum(x["self_us"] for x in recs)
+    print(f"\ntotal device self time: {tot/1e3:.2f} ms (3 iters) — per-iter {tot/3e3:.2f} ms")
+    print(f"{'us(self)':>10} {'%':>5} {'occ':>5}  {'category':<22} name")
+    for x in recs[:top]:
+        print(f"{x['self_us']:10.0f} {100*x['self_us']/tot:5.1f} {x['occ']:5d}  {x['cat']:<22} {x['name']}")
+
+    bycat = {}
+    for x in recs:
+        bycat[x["cat"]] = bycat.get(x["cat"], 0.0) + x["self_us"]
+    print("\nby category:")
+    for c, us in sorted(bycat.items(), key=lambda kv: -kv[1]):
+        print(f"{us:10.0f} {100*us/tot:5.1f}  {c}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--top", type=int, default=40)
+    p.add_argument("--conf", default="rtfs_net_tpu/configs/lrs2_RTFSNet_4_layer.yaml")
+    p.add_argument("--trace-dir", default="/tmp/rtfs_trace")
+    p.add_argument("--report-only", action="store_true")
+    args = p.parse_args(argv)
+    if not args.report_only:
+        os.makedirs(args.trace_dir, exist_ok=True)
+        capture(args.trace_dir, args.batch, args.conf)
+    report(args.trace_dir, args.top)
+
+
+if __name__ == "__main__":
+    main()
