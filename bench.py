@@ -51,7 +51,10 @@ def main():
     mouth = jnp.asarray(rng.standard_normal((B, 512, TV)).astype(np.float32) * 0.1)
 
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), mix_pool[0][:1], mouth[:1])
-    fwd = jax.jit(lambda v, m, mo: model.apply(v, m, mo))
+    from rtfs_net_tpu.models import for_inference
+
+    smodel = for_inference(model)  # unrolled repeats: ~2% serve win, same vars
+    fwd = jax.jit(lambda v, m, mo: smodel.apply(v, m, mo))
 
     # correctness sanity on a small f32 slice (the timed loop runs bf16
     # at the full serving batch)
@@ -63,7 +66,7 @@ def main():
     from rtfs_net_tpu.utils.profiling import timed
 
     stats = timed(
-        lambda m: model.apply(
+        lambda m: smodel.apply(
             variables, m.astype(jnp.bfloat16), mouth.astype(jnp.bfloat16)
         ).astype(jnp.float32),
         make_args=lambda i: (mix_pool[i % len(mix_pool)] + float(i) * 1e-6,),

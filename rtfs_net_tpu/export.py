@@ -52,6 +52,9 @@ def export_serving(
     serving precision, 43 dB agreement with f32 — DESIGN.md).
     """
     dt = _DTYPES[compute_dtype] if isinstance(compute_dtype, str) else compute_dtype
+    from .models import for_inference
+
+    model = for_inference(model)  # unrolled repeats; identical variables
 
     if mouth_shape is None:
         def fn(mix):

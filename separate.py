@@ -60,6 +60,9 @@ def main(args):
                              "--videonet-conf with a videonet: block")
 
     dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    from rtfs_net_tpu.models import for_inference
+
+    model = for_inference(model)
     fwd = jax.jit(lambda v, m, e: model.apply(
         v, m.astype(dtype), None if e is None else e.astype(dtype)
     ).astype(jnp.float32))

@@ -95,8 +95,10 @@ def main(conf):
 
     from rtfs_net_tpu.evaluation import run_batched_eval
 
+    from rtfs_net_tpu.models import for_inference
+
     run_batched_eval(
-        model=model, variables=variables, test_set=test_set,
+        model=for_inference(model), variables=variables, test_set=test_set,
         metrics=metrics, loss_func=loss_func, video_apply=video_apply,
         bucket=bucket, eval_batch_size=eval_bs, sample_rate=sr,
         n_save_ex=n_save_ex,
