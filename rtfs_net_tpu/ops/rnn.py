@@ -104,6 +104,60 @@ def _sru_direction_split(u0, u1, u2, x_skip, v_f, v_r, b_f, b_r,
 DEFAULT_SRU_BACKEND = "scan"
 
 
+def _sru_lanes_path(mod, x, window, unroll, ndir, out_size, params):
+    """Whole-stack (L, channels, B) Pallas execution for inference steps.
+
+    Returns the (L, B, out) result, or None when the path doesn't apply
+    (training steps, non-TPU backends, missing window entry, or shapes
+    that don't fit the kernel's VMEM budget). See
+    ``ops/pallas/sru_kernel_v3.py`` for the design; the scan path's
+    per-step slice/squeeze HLO machinery was profiled at ~75% of
+    DualPathRNN serving time, and the v2 per-direction kernel lost its
+    win to (L,B,C)→(L,H,B) boundary transposes — v3 never leaves the
+    lanes orientation between layers.
+    """
+    import os
+
+    if unroll <= 1 or window is None or (mod.backend or DEFAULT_SRU_BACKEND) != "scan":
+        return None
+    if os.environ.get("RTFS_PALLAS_SRU", "1") == "0":
+        return None
+    interpret = os.environ.get("RTFS_PALLAS_SRU_INTERPRET") == "1"
+    if jax.default_backend() != "tpu" and not interpret:
+        return None
+
+    from .pallas.sru_kernel_v3 import sru_stack_layer, sru_v3_supported
+
+    k_w, s_w = window
+    Bp, C, T = x.shape
+    L = (T - k_w) // s_w + 1
+    H = mod.hidden_size
+    if any(not sru_v3_supported(L, Bp, H, k, ndir, x.dtype.itemsize)
+           for (k, _, _, _) in params):
+        return None
+    if params[0][0] != 4:
+        return None  # k==3 layer-0 would need the unfolded skip sequence
+
+    h_cb = None
+    for layer, (k, w, v, b) in enumerate(params):
+        if layer == 0:
+            # windowed projection emitting (L, k·O, B) directly
+            rhs = w.reshape(C, k_w, -1).astype(x.dtype)  # (I, H, O)
+            u = lax.conv_general_dilated(
+                x, rhs, (s_w,), "VALID",
+                dimension_numbers=("NCH", "IHO", "HCN"))
+            skip = None
+        else:
+            rhs = w.T.reshape(k * out_size, out_size, 1).astype(h_cb.dtype)
+            u = lax.conv_general_dilated(
+                h_cb, rhs, (1,), "VALID",
+                dimension_numbers=("HCN", "OIH", "HCN"))
+            skip = h_cb
+        h_cb = sru_stack_layer(u, skip, v, b, H=H, k=k, ndir=ndir,
+                               interpret=interpret)
+    return h_cb.transpose(0, 2, 1)
+
+
 class SRU(nn.Module):
     """Multi-layer (bi)directional SRU, sru==2.6.0 v2 cell semantics."""
 
@@ -124,7 +178,9 @@ class SRU(nn.Module):
         # the windows.
         ndir = 2 if self.bidirectional else 1
         out_size = self.hidden_size * ndir
-        h = x
+        # create all params up front so both execution paths (scan and the
+        # Pallas lanes backend) see the identical variable tree
+        params = []
         for layer in range(self.num_layers):
             d_in = self.input_size if layer == 0 else out_size
             k = 4 if d_in != out_size else 3
@@ -139,6 +195,16 @@ class SRU(nn.Module):
             )
             v = self.param(f"weight_c_l{layer}", nn.initializers.zeros, (2 * out_size,))
             b = self.param(f"bias_l{layer}", nn.initializers.zeros, (2 * out_size,))
+            params.append((k, w, v, b))
+
+        lanes = _sru_lanes_path(self, x, window, unroll, ndir, out_size, params)
+        if lanes is not None:
+            return lanes
+
+        h = x
+        for layer in range(self.num_layers):
+            d_in = self.input_size if layer == 0 else out_size
+            k, w, v, b = params[layer]
 
             if layer == 0 and window is not None:
                 k_w, s_w = window

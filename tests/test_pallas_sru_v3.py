@@ -1,0 +1,57 @@
+"""Whole-stack (L, C, B) Pallas SRU backend: exact parity vs the scan path
+(interpret mode on CPU). On TPU this backend serves all inference-step SRU
+directions (``ops/rnn._sru_lanes_path``); training always uses the scan.
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rtfs_net_tpu.ops.rnn import SRU
+from rtfs_net_tpu.ops.pallas.sru_kernel_v3 import sru_v3_supported
+
+
+@pytest.mark.parametrize("num_layers,bidirectional,T", [
+    (1, True, 27),
+    (3, True, 27),
+    (2, False, 40),
+])
+def test_stack_parity_vs_scan(num_layers, bidirectional, T, rng, monkeypatch):
+    Bp, C, k_w, s_w, H = 16, 32, 8, 1, 16
+    m = SRU(input_size=C * k_w, hidden_size=H, num_layers=num_layers,
+            bidirectional=bidirectional)
+    x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x, window=(k_w, s_w))
+    y_scan = m.apply(p, x, window=(k_w, s_w), unroll=8)
+    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
+    y_v3 = m.apply(p, x, window=(k_w, s_w), unroll=8)
+    assert y_v3.shape == y_scan.shape
+    np.testing.assert_allclose(np.asarray(y_v3), np.asarray(y_scan),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_training_step_keeps_scan(rng, monkeypatch):
+    """unroll==1 (the differentiated step kind) must NOT route to the
+    kernel — it has no gradient rule."""
+    Bp, C, T, k_w, H = 8, 16, 19, 8, 8
+    m = SRU(input_size=C * k_w, hidden_size=H, num_layers=1,
+            bidirectional=True)
+    x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x, window=(k_w, 1))
+    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
+
+    def loss(p):
+        return jnp.sum(jnp.square(m.apply(p, x, window=(k_w, 1), unroll=1)))
+
+    g = jax.grad(loss)(p)  # would raise on the kernel path
+    flat = jax.tree_util.tree_leaves(g)
+    assert all(bool(jnp.isfinite(a).all()) for a in flat)
+
+
+def test_supported_gate():
+    assert sru_v3_supported(58, 16128, 32, 4, 2, 2)
+    assert sru_v3_supported(119, 8320, 32, 3, 2, 2)
+    assert not sru_v3_supported(58, 16128, 30, 4, 2, 2)   # H not 8-aligned
+    assert not sru_v3_supported(4000, 16128, 32, 4, 2, 4)  # VMEM blowout
