@@ -118,7 +118,7 @@ def _sru_lanes_path(mod, x, window, unroll, ndir, out_size, params):
     """
     import os
 
-    if unroll <= 1 or window is None or (mod.backend or DEFAULT_SRU_BACKEND) != "scan":
+    if window is None or (mod.backend or DEFAULT_SRU_BACKEND) != "scan":
         return None
     if os.environ.get("RTFS_PALLAS_SRU", "1") == "0":
         return None
@@ -127,16 +127,56 @@ def _sru_lanes_path(mod, x, window, unroll, ndir, out_size, params):
         return None
 
     from .pallas.sru_kernel_v3 import sru_stack_layer, sru_v3_supported
+    from .pallas.sru_train import sru_direction_train, sru_train_supported
 
     k_w, s_w = window
     Bp, C, T = x.shape
     L = (T - k_w) // s_w + 1
     H = mod.hidden_size
-    if any(not sru_v3_supported(L, Bp, H, k, ndir, x.dtype.itemsize)
-           for (k, _, _, _) in params):
+    train_step = unroll <= 1  # the differentiated step kind
+    Bk = -(-Bp // 128) * 128  # train kernel pads the folded batch to lanes
+    if train_step:
+        # opt-in until benchmarked on-chip vs the scan backward
+        # (RTFS_PALLAS_SRU_TRAIN=1); inference default stays on
+        if os.environ.get("RTFS_PALLAS_SRU_TRAIN", "0") != "1":
+            return None
+        ok = sru_train_supported(L, Bk, H, x.dtype.itemsize)
+    else:
+        ok = all(sru_v3_supported(L, Bp, H, k, ndir, x.dtype.itemsize)
+                 for (k, _, _, _) in params)
+    if not ok:
         return None
     if params[0][0] != 4:
         return None  # k==3 layer-0 would need the unfolded skip sequence
+
+    def run_layer(u, skip, k, v, b):
+        if not train_step:
+            return sru_stack_layer(u, skip, v, b, H=H, k=k, ndir=ndir,
+                                   interpret=interpret)
+        # training: per-direction custom_vjp kernel (Pallas fwd + bwd —
+        # the SRU backward is itself an elementwise reverse recurrence)
+        O = H * ndir
+        pad = Bk - u.shape[2]
+        if pad:
+            u = jnp.pad(u, ((0, 0), (0, 0), (0, pad)))
+            skip = None if skip is None else jnp.pad(
+                skip, ((0, 0), (0, 0), (0, pad)))
+        outs = []
+        for d in range(ndir):
+            s = d * H
+            u0 = u[:, s:s + H, :]
+            u1 = u[:, O + s:O + s + H, :]
+            u2 = u[:, 2 * O + s:2 * O + s + H, :]
+            sk = (u[:, 3 * O + s:3 * O + s + H, :] if k == 4
+                  else skip[:, s:s + H, :])
+            vf = v[s:s + H]
+            vr = v[O + s:O + s + H]
+            bf = b[s:s + H]
+            br = b[O + s:O + s + H]
+            outs.append(sru_direction_train(
+                u0, u1, u2, sk, vf, vr, bf, br, d == 1, interpret))
+        h = jnp.concatenate(outs, axis=1) if ndir > 1 else outs[0]
+        return h[:, :, :u.shape[2] - pad] if pad else h
 
     h_cb = None
     for layer, (k, w, v, b) in enumerate(params):
@@ -153,8 +193,7 @@ def _sru_lanes_path(mod, x, window, unroll, ndir, out_size, params):
                 h_cb, rhs, (1,), "VALID",
                 dimension_numbers=("HCN", "OIH", "HCN"))
             skip = h_cb
-        h_cb = sru_stack_layer(u, skip, v, b, H=H, k=k, ndir=ndir,
-                               interpret=interpret)
+        h_cb = run_layer(u, skip, k, v, b)
     return h_cb.transpose(0, 2, 1)
 
 

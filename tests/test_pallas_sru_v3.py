@@ -55,3 +55,32 @@ def test_supported_gate():
     assert sru_v3_supported(119, 8320, 32, 3, 2, 2)
     assert not sru_v3_supported(58, 16128, 30, 4, 2, 2)   # H not 8-aligned
     assert not sru_v3_supported(4000, 16128, 32, 4, 2, 4)  # VMEM blowout
+
+
+def test_train_kernel_grads_match_scan(rng, monkeypatch):
+    """RTFS_PALLAS_SRU_TRAIN=1 routes the differentiated step through the
+    custom_vjp Pallas kernels; grads must match scan autodiff."""
+    Bp, C, T, k_w, H = 128, 16, 19, 8, 8
+    m = SRU(input_size=C * k_w, hidden_size=H, num_layers=2,
+            bidirectional=True)
+    x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x, window=(k_w, 1))
+
+    def loss(p):
+        return jnp.sum(jnp.square(m.apply(p, x, window=(k_w, 1), unroll=1)))
+
+    g_scan = jax.grad(loss)(p)
+    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
+    monkeypatch.setenv("RTFS_PALLAS_SRU_TRAIN", "1")
+    y_k = m.apply(p, x, window=(k_w, 1), unroll=1)
+    g_k = jax.grad(loss)(p)
+    monkeypatch.delenv("RTFS_PALLAS_SRU_INTERPRET")
+    monkeypatch.delenv("RTFS_PALLAS_SRU_TRAIN")
+    y_s = m.apply(p, x, window=(k_w, 1), unroll=1)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_s), atol=1e-5)
+    flat_k = jax.tree_util.tree_leaves(g_k)
+    flat_s = jax.tree_util.tree_leaves(g_scan)
+    for a, b in zip(flat_k, flat_s):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(b)))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale)
