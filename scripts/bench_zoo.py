@@ -35,8 +35,11 @@ ZOO = [("lrs2_RTFSNet_4_layer", 57.8), ("lrs2_RTFSNet_6_layer", 64.7),
 
 
 def bench_serve(model, pool, mouth, B):
+    from rtfs_net_tpu.models import for_inference
+
     v = jax.jit(model.init)(jax.random.PRNGKey(0), pool[0][:1], mouth[:1])
-    fwd = jax.jit(lambda vv, m, mo: model.apply(
+    smodel = for_inference(model)
+    fwd = jax.jit(lambda vv, m, mo: smodel.apply(
         vv, m.astype(jnp.bfloat16), mo.astype(jnp.bfloat16)).astype(jnp.float32))
     fwd(v, pool[0], mouth)
     st = timed(lambda m: fwd(v, m, mouth),

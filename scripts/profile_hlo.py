@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
-def capture(trace_dir: str, batch: int, conf_path: str):
+def capture(trace_dir: str, batch: int, conf_path: str, train: bool = False):
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -26,7 +26,7 @@ def capture(trace_dir: str, batch: int, conf_path: str):
 
     from rtfs_net_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
-    from rtfs_net_tpu.models import AVNet
+    from rtfs_net_tpu.models import AVNet, for_inference
 
     with open(conf_path) as f:
         conf = yaml.safe_load(f)
@@ -38,9 +38,33 @@ def capture(trace_dir: str, batch: int, conf_path: str):
     mouth1 = jnp.asarray(rng.standard_normal((1, 512, TV)).astype(np.float32))
     variables = model.init(jax.random.PRNGKey(0), mix1, mouth1)
 
-    fwd = jax.jit(lambda v, m, mo: model.apply(v, m.astype(DT), mo.astype(DT)))
     mix = jnp.asarray(rng.standard_normal((batch, L)).astype(np.float32))
     mouth = jnp.asarray(rng.standard_normal((batch, 512, TV)).astype(np.float32))
+
+    if train:
+        from rtfs_net_tpu.losses import PITLossWrapper, pairwise_neg_snr, pairwise_neg_sisdr
+        from rtfs_net_tpu.system import System, make_optimizer
+
+        system = System(
+            model, make_optimizer(**conf["optim"]),
+            {"train": PITLossWrapper(pairwise_neg_snr),
+             "val": PITLossWrapper(pairwise_neg_sisdr)},
+            compute_dtype=jnp.bfloat16,
+        )
+        state = system.init_state(jax.random.PRNGKey(0), mix[:1], mouth[:1])
+        step = jax.jit(system.train_step)
+        key = jax.random.PRNGKey(1)
+        state, _ = step(state, (mix, mix[:, None, :], mouth), key)  # compile
+        jax.block_until_ready(state.params)
+        with jax.profiler.trace(trace_dir):
+            for i in range(3):
+                state, metrics = step(
+                    state, (mix + np.float32(i) * 1e-6, mix[:, None, :], mouth), key)
+            jax.block_until_ready(metrics["loss"])
+        return
+
+    smodel = for_inference(model)
+    fwd = jax.jit(lambda v, m, mo: smodel.apply(v, m.astype(DT), mo.astype(DT)))
     jax.block_until_ready(fwd(variables, mix, mouth))  # compile outside trace
 
     with jax.profiler.trace(trace_dir):
@@ -97,10 +121,12 @@ def main(argv=None):
     p.add_argument("--conf", default="rtfs_net_tpu/configs/lrs2_RTFSNet_4_layer.yaml")
     p.add_argument("--trace-dir", default="/tmp/rtfs_trace")
     p.add_argument("--report-only", action="store_true")
+    p.add_argument("--train", action="store_true",
+                   help="profile the jitted train step instead of serving")
     args = p.parse_args(argv)
     if not args.report_only:
         os.makedirs(args.trace_dir, exist_ok=True)
-        capture(args.trace_dir, args.batch, args.conf)
+        capture(args.trace_dir, args.batch, args.conf, train=args.train)
     report(args.trace_dir, args.top)
 
 
