@@ -55,6 +55,9 @@ def test_supported_gate():
     assert sru_v3_supported(119, 8320, 32, 3, 2, 2)
     assert not sru_v3_supported(58, 16128, 30, 4, 2, 2)   # H not 8-aligned
     assert not sru_v3_supported(4000, 16128, 32, 4, 2, 4)  # VMEM blowout
+    # long-L zoo shapes (RTFS-12 hop-64 time axis) ride the chunked path
+    assert sru_v3_supported(494, 8320, 32, 4, 2, 2)
+    assert sru_v3_supported(494, 8320, 32, 3, 2, 2)
 
 
 def test_train_kernel_grads_match_scan(rng, monkeypatch):
