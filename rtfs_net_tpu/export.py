@@ -18,6 +18,17 @@ dtypes and calling convention pinned. The resulting artifact
 File format: ``RTFSXPT1`` magic, little-endian u64 JSON-header length, a
 JSON header describing the calling convention, then the raw
 ``Exported.serialize()`` bytes.
+
+``RTFSXPT2`` generalizes to a **bucketed multi-batch artifact**: the same
+header plus a ``buckets`` list of ``{batch_size, length}`` entries followed
+by one serialized Exported per bucket. A fleet loads it once and serves ANY
+request batch — the loader picks the smallest bucket ≥ the request (zero-pads
+the tail, slices it back off) and chunks over the largest bucket for bigger
+requests. Padding dispatch is *exact*: nothing in the model mixes the batch
+axis (gLN/LN4D are per-sample, attention is within-sample, the video trunk's
+BatchNorm runs frozen in eval mode), so padded rows can't contaminate real
+ones. Pinned shapes per bucket keep the Pallas SRU lanes backend eligible —
+the reason we bucket instead of exporting a symbolic batch dimension.
 """
 from __future__ import annotations
 
@@ -28,9 +39,11 @@ from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import export as jexport
 
 _MAGIC = b"RTFSXPT1"
+_MAGIC2 = b"RTFSXPT2"
 
 _DTYPES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
 
@@ -106,10 +119,48 @@ def save_serving(
         f.write(_MAGIC + struct.pack("<Q", len(hdr)) + hdr + bytes(exported.serialize()))
 
 
+def save_serving_multi(
+    path: str,
+    exports_by_batch: Dict[int, Any],
+    segment_samples: int,
+    mouth_shape: Optional[Sequence[int]] = None,
+    compute_dtype: str = "bfloat16",
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Write a bucketed ``RTFSXPT2`` artifact (one Exported per batch size)."""
+    sizes = sorted(exports_by_batch)
+    blobs = [bytes(exports_by_batch[b].serialize()) for b in sizes]
+    any_exp = exports_by_batch[sizes[0]]
+    header = {
+        "calling_convention": (
+            "separated = f(mix_f32[B, L])" if mouth_shape is None
+            else "separated = f(mix_f32[B, L], mouth_f32[B, *mouth])"
+        ),
+        "buckets": [
+            {"batch_size": int(b), "length": len(blob)}
+            for b, blob in zip(sizes, blobs)
+        ],
+        "segment_samples": int(segment_samples),
+        "mouth_shape": list(mouth_shape) if mouth_shape is not None else None,
+        "compute_dtype": compute_dtype,
+        "platforms": list(any_exp.platforms),
+        "stablehlo_version": getattr(any_exp, "calling_convention_version", None),
+    }
+    header.update(extra or {})
+    hdr = json.dumps(header).encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(_MAGIC2 + struct.pack("<Q", len(hdr)) + hdr)
+        for blob in blobs:
+            f.write(blob)
+
+
 def load_serving(path: str) -> Tuple[Any, Dict[str, Any]]:
     """-> (exported, header); run with ``exported.call(mix[, mouth])``.
 
     Only needs jax — no rtfs_net_tpu model code, no config, no registry.
+    Single-bucket ``RTFSXPT1`` files only; use :func:`load_artifact` for
+    the general (either-format) loader.
     """
     with open(path, "rb") as f:
         blob = f.read()
@@ -118,3 +169,73 @@ def load_serving(path: str) -> Tuple[Any, Dict[str, Any]]:
     header = json.loads(blob[16:16 + hlen].decode())
     exported = jexport.deserialize(bytearray(blob[16 + hlen:]))
     return exported, header
+
+
+class ServingArtifact:
+    """A loaded ``.rtfsx`` artifact that serves any request batch.
+
+    ``artifact(mix[, mouth])`` dispatches to the smallest exported bucket
+    that fits (zero-padding the tail and slicing it back off — exact, see
+    module docstring) and chunks requests larger than the biggest bucket.
+    Works on both formats: PT1 files behave as a single-bucket artifact.
+    """
+
+    def __init__(self, exports_by_batch: Dict[int, Any], header: Dict[str, Any]):
+        assert exports_by_batch, "artifact has no buckets"
+        self.exports = dict(sorted(exports_by_batch.items()))
+        self.header = header
+        self.batch_sizes = list(self.exports)
+
+    def __call__(self, mix, mouth=None):
+        mix = np.asarray(mix)
+        if mouth is not None:
+            mouth = np.asarray(mouth)
+            assert mouth.shape[0] == mix.shape[0], "mix/mouth batch mismatch"
+        total = mix.shape[0]
+        sizes = self.batch_sizes
+        outs = []
+        i = 0
+        while i < total:
+            rem = total - i
+            b = next((s for s in sizes if s >= rem), sizes[-1])
+            take = min(rem, b)
+            pad = b - take
+
+            def prep(a):
+                chunk = a[i:i + take]
+                if pad:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + a.shape[1:], a.dtype)])
+                return chunk
+
+            args = (prep(mix),) if mouth is None else (prep(mix), prep(mouth))
+            y = self.exports[b].call(*args)
+            outs.append(np.asarray(y)[:take])
+            i += take
+        return np.concatenate(outs) if len(outs) > 1 else outs[0]
+
+
+def load_artifact(path: str) -> ServingArtifact:
+    """Load either artifact format into a batch-flexible server handle.
+
+    Only needs jax + numpy — no rtfs_net_tpu model code at serve time.
+    """
+    with open(path, "rb") as f:
+        blob = f.read()
+    magic = blob[:8]
+    (hlen,) = struct.unpack("<Q", blob[8:16])
+    header = json.loads(blob[16:16 + hlen].decode())
+    body = blob[16 + hlen:]
+    if magic == _MAGIC:
+        exports = {int(header["batch_size"]): jexport.deserialize(bytearray(body))}
+    elif magic == _MAGIC2:
+        exports, off = {}, 0
+        for bucket in header["buckets"]:
+            n = int(bucket["length"])
+            exports[int(bucket["batch_size"])] = jexport.deserialize(
+                bytearray(body[off:off + n]))
+            off += n
+        assert off == len(body), f"{path}: trailing bytes in artifact body"
+    else:
+        raise AssertionError(f"{path}: not an rtfs_net_tpu export")
+    return ServingArtifact(exports, header)

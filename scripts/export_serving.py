@@ -23,6 +23,10 @@ def main(argv=None):
     p.add_argument("--out", default=None, help="output path (default: <ckpt dir>/model.rtfsx)")
     p.add_argument("--batch-size", type=int, default=128,
                    help="serving batch (128 = measured v5e optimum)")
+    p.add_argument("--batch-sizes", default=None,
+                   help="comma list (e.g. 1,8,32,128) -> bucketed RTFSXPT2 "
+                        "artifact serving ANY request batch via pad/chunk "
+                        "dispatch (rtfs_net_tpu.export.load_artifact)")
     p.add_argument("--segment", type=float, default=2.0, help="utterance seconds")
     p.add_argument("--sample-rate", type=int, default=16000)
     p.add_argument("--fps", type=int, default=25, help="video fps for the mouth track")
@@ -55,19 +59,39 @@ def main(argv=None):
                 mouth_shape = (vout, int(args.segment * args.fps))
     platforms = args.platforms.split(",") if args.platforms else None
 
-    exported = export_serving(
-        model, variables, args.batch_size, segment_samples,
-        mouth_shape=mouth_shape, compute_dtype=args.dtype, platforms=platforms,
-    )
+    extra = {"model_name": header.get("model_name", "AVNet"),
+             "sample_rate": args.sample_rate}
     out = args.out or os.path.join(os.path.dirname(os.path.abspath(args.ckpt)),
                                    "model.rtfsx")
-    save_serving(out, exported, args.batch_size, segment_samples,
-                 mouth_shape=mouth_shape, compute_dtype=args.dtype,
-                 extra={"model_name": header.get("model_name", "AVNet"),
-                        "sample_rate": args.sample_rate})
+    if args.batch_sizes:
+        from rtfs_net_tpu.export import save_serving_multi
+
+        sizes = sorted({int(v) for v in args.batch_sizes.split(",")})
+        exports = {
+            b: export_serving(model, variables, b, segment_samples,
+                              mouth_shape=mouth_shape, compute_dtype=args.dtype,
+                              platforms=platforms)
+            for b in sizes
+        }
+        save_serving_multi(out, exports, segment_samples,
+                           mouth_shape=mouth_shape, compute_dtype=args.dtype,
+                           extra=extra)
+        plats = list(exports[sizes[0]].platforms)
+        batches = sizes
+    else:
+        exported = export_serving(
+            model, variables, args.batch_size, segment_samples,
+            mouth_shape=mouth_shape, compute_dtype=args.dtype,
+            platforms=platforms,
+        )
+        save_serving(out, exported, args.batch_size, segment_samples,
+                     mouth_shape=mouth_shape, compute_dtype=args.dtype,
+                     extra=extra)
+        plats = list(exported.platforms)
+        batches = [args.batch_size]
     size = os.path.getsize(out)
-    print(f"exported {out} ({size/1e6:.1f} MB, platforms={list(exported.platforms)}, "
-          f"B={args.batch_size}, L={segment_samples}, mouth={mouth_shape}, "
+    print(f"exported {out} ({size/1e6:.1f} MB, platforms={plats}, "
+          f"B={batches}, L={segment_samples}, mouth={mouth_shape}, "
           f"{args.dtype})")
     return out
 

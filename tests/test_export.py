@@ -15,7 +15,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from rtfs_net_tpu.export import export_serving, load_serving, save_serving
+from rtfs_net_tpu.export import (export_serving, load_artifact, load_serving,
+                                 save_serving, save_serving_multi)
 from rtfs_net_tpu.models import AVNet
 from rtfs_net_tpu.models.serialization import save_model
 
@@ -84,6 +85,76 @@ def test_export_pins_shapes(tiny_model):
     mouth = jnp.asarray(rng.standard_normal((B + 1, EMB, TV)).astype(np.float32))
     with pytest.raises(Exception):
         exported.call(bad_mix, mouth)
+
+
+def test_bucketed_artifact_serves_any_batch(tiny_model, tmp_path):
+    """RTFSXPT2: pad/chunk dispatch over pinned-batch buckets is exact.
+
+    Nothing in the model mixes the batch axis, so serving B=3 through a
+    {1, 2}-bucket artifact (one padded B=2 call + one B=1 call, or two
+    B=2 calls) must match per-row ``model.apply`` bit-for-bit modulo the
+    separate-XLA-compilation ulp.
+    """
+    model, variables = tiny_model
+    exports = {
+        b: export_serving(model, variables, b, L, mouth_shape=(EMB, TV),
+                          compute_dtype=jnp.float32)
+        for b in (1, 2)
+    }
+    path = str(tmp_path / "multi.rtfsx")
+    save_serving_multi(path, exports, L, mouth_shape=(EMB, TV),
+                       compute_dtype="float32")
+
+    art = load_artifact(path)
+    assert art.batch_sizes == [1, 2]
+    assert [b["batch_size"] for b in art.header["buckets"]] == [1, 2]
+
+    rng = np.random.default_rng(4)
+    for n in (1, 2, 3, 5):  # exact fit, pad, and chunk-over-largest cases
+        mix = jnp.asarray(rng.standard_normal((n, L)).astype(np.float32))
+        mouth = jnp.asarray(rng.standard_normal((n, EMB, TV)).astype(np.float32))
+        want = model.apply(variables, mix, mouth)
+        got = art(mix, mouth)
+        assert got.shape == np.asarray(want).shape
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
+
+
+def test_load_artifact_reads_single_bucket_format(tiny_model, tmp_path):
+    model, variables = tiny_model
+    exported = export_serving(model, variables, B, L, mouth_shape=(EMB, TV),
+                              compute_dtype=jnp.float32)
+    path = str(tmp_path / "single.rtfsx")
+    save_serving(path, exported, B, L, mouth_shape=(EMB, TV),
+                 compute_dtype="float32")
+    art = load_artifact(path)
+    assert art.batch_sizes == [B]
+    rng = np.random.default_rng(5)
+    mix = jnp.asarray(rng.standard_normal((1, L)).astype(np.float32))  # pads to B
+    mouth = jnp.asarray(rng.standard_normal((1, EMB, TV)).astype(np.float32))
+    np.testing.assert_allclose(
+        art(mix, mouth), np.asarray(model.apply(variables, mix, mouth)),
+        atol=1e-5, rtol=1e-4)
+
+
+def test_export_cli_bucketed(tiny_model, tmp_path):
+    model, variables = tiny_model
+    ckpt = str(tmp_path / "exp" / "best_model.ckpt")
+    save_model(ckpt, "AVNet", dict(TINY_AUDIONET), variables)
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import export_serving as cli
+
+    out = cli.main(["--ckpt", ckpt, "--batch-sizes", "1,2",
+                    "--segment", str(L / SR), "--sample-rate", str(SR),
+                    "--mouth-shape", f"{EMB},{TV}", "--dtype", "float32"])
+    art = load_artifact(out)
+    assert art.batch_sizes == [1, 2]
+    rng = np.random.default_rng(6)
+    mix = jnp.asarray(rng.standard_normal((3, L)).astype(np.float32))
+    mouth = jnp.asarray(rng.standard_normal((3, EMB, TV)).astype(np.float32))
+    np.testing.assert_allclose(
+        art(mix, mouth), np.asarray(model.apply(variables, mix, mouth)),
+        atol=1e-5, rtol=1e-4)
 
 
 def test_export_cli(tiny_model, tmp_path, monkeypatch):
