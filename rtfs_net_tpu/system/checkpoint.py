@@ -71,6 +71,30 @@ class CheckpointManager:
             json.dump({"name": name, "epoch": epoch, **(extra or {})}, f, default=str)
 
     # ------------------------------------------------------------------
+    def save_preempt(self, state, completed_epoch: int,
+                     extra: Optional[Dict] = None):
+        """Preemption save: mid-epoch state, outside the top-k ledger.
+
+        Points ``last.json`` at it with ``epoch=completed_epoch`` so
+        :meth:`restore_last` resumes by restarting the interrupted epoch
+        from the saved (mid-epoch) parameters — the same
+        epoch-granularity contract as crash-resume, but without losing
+        the partial epoch's optimization progress.
+        """
+        path = self._path("preempt")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        self._ckptr.save(path, state)
+        self._ckptr.wait_until_finished()
+        meta = {"epoch": completed_epoch, "preempted": True,
+                "training_config": self.config, **(extra or {})}
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f, indent=2, default=str)
+        with open(self._path("last.json"), "w") as f:
+            json.dump({"name": "preempt", "epoch": completed_epoch,
+                       "preempted": True, **(extra or {})}, f, default=str)
+
+    # ------------------------------------------------------------------
     def best_name(self) -> Optional[str]:
         if not self.best_k:
             return None

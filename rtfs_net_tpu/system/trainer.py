@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import time
 from typing import Dict, Optional
 
@@ -74,6 +75,7 @@ class Trainer:
         )
         self.early = EarlyStopping(early_stop_patience) if early_stop else None
         self.start_epoch = 0
+        self._preempted = False
 
     # ------------------------------------------------------------------
     def _prep_batch(self, batch):
@@ -109,12 +111,43 @@ class Trainer:
         return state
 
     # ------------------------------------------------------------------
+    def _install_preempt_handlers(self):
+        """SIGTERM/SIGUSR1 -> finish the current step, checkpoint, stop.
+
+        TPU pod preemptions deliver SIGTERM with a grace window; the
+        handler only sets a flag — the fit loop checkpoints at the next
+        step boundary (the jitted step can't be interrupted mid-flight
+        anyway). Returns the previous handlers for restoration.
+        """
+        previous = {}
+
+        def _flag(signum, frame):
+            self._preempted = True
+            print(f"signal {signum}: checkpointing and stopping after the "
+                  "current step", flush=True)
+
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                previous[sig] = signal.signal(sig, _flag)
+            except (ValueError, OSError):
+                pass  # not the main thread / unsupported platform
+        return previous
+
     def fit(self, state: TrainState, train_loader, val_loader,
             rng: Optional[jax.Array] = None) -> TrainState:
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         self.logger.log_hyperparams(self.config)
         global_step = int(state.step)
+        self._preempted = False
+        prev_handlers = self._install_preempt_handlers()
+        try:
+            return self._fit_loop(state, train_loader, val_loader, rng,
+                                  global_step)
+        finally:
+            for sig, handler in prev_handlers.items():
+                signal.signal(sig, handler)
 
+    def _fit_loop(self, state, train_loader, val_loader, rng, global_step):
         for epoch in range(self.start_epoch, self.epochs):
             epoch_t0 = time.time()
             train_loader.set_epoch(epoch)
@@ -127,6 +160,19 @@ class Trainer:
                     self.logger.add_scalar("train_loss_step",
                                            float(metrics["loss"]), global_step)
                 losses.append(metrics["loss"])
+                if self._preempted:
+                    break
+            if self._preempted:
+                sched_state = {}
+                if self.plateau:
+                    sched_state["plateau"] = self.plateau.state_dict()
+                if self.early:
+                    sched_state["early"] = self.early.state_dict()
+                self.ckpt.save_preempt(state, epoch - 1,
+                                       extra={"schedulers": sched_state})
+                print(f"preempted during epoch {epoch}: saved 'preempt' "
+                      f"checkpoint; resume restarts epoch {epoch}", flush=True)
+                break
             train_loss = float(np.mean([float(l) for l in losses])) if losses else float("nan")
 
             val_losses = []
@@ -166,6 +212,11 @@ class Trainer:
 
             if self.early is not None and self.early.step(val_loss):
                 print(f"early stopping at epoch {epoch}")
+                break
+            if self._preempted:
+                # arrived during validation: the epoch checkpoint above
+                # already captured the completed epoch — just stop.
+                print(f"preempted after epoch {epoch}: stopping", flush=True)
                 break
 
         self.logger.finalize()

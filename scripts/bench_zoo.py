@@ -77,6 +77,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--serve-only", action="store_true")
     p.add_argument("--train-only", action="store_true")
+    p.add_argument("--latency", action="store_true",
+                   help="also measure unamortized B=1 serving latency (the "
+                        "paper's Time(ms) column is per-utterance latency)")
     args = p.parse_args()
 
     rng = np.random.default_rng(0)
@@ -94,6 +97,10 @@ def main():
             ms = bench_serve(model, pool, mouth, B)
             row.append(f"serve {ms / B:.2f} ms/utt ({B / (ms / 1e3):.0f} utt/s, "
                        f"paper {paper_ms} -> {paper_ms / (ms / B):.1f}x)")
+            if args.latency:
+                lat = bench_serve(model, [m[:1] for m in pool], mouth[:1], 1)
+                row.append(f"B=1 latency {lat:.2f} ms "
+                           f"(paper {paper_ms} -> {paper_ms / lat:.1f}x)")
         if not args.serve_only:
             for TB in (4, 16):
                 tms = bench_train(conf, model, pool, mouth, TB)
