@@ -480,7 +480,12 @@ double pesq_score(const float* ref_in, const float* deg_in, int n, int fs,
   // frame the REFERENCE timeline; each degraded frame reads at the
   // ref-frame start plus that frame's (center-sample) delay, zero-padded
   // outside the signal — with one global delay this reduces to the
-  // whole-signal shift
+  // whole-signal shift. Zero-padding (not truncating to the overlap) is
+  // deliberate and matches ITU P.862's own C code, which appends
+  // DATAPADDING_MSECS of zeros and lets delayed degraded reads fall into
+  // that padding: ref speech whose degraded counterpart was pushed past
+  // the end of the file is genuinely lost content and scores as
+  // disturbance.
   int T = (int)r.size() >= frame ? ((int)r.size() - frame) / hop + 1 : 0;
   if (T < 4) return -0.5;
   std::vector<int> offs(T);

@@ -1,6 +1,7 @@
 """Pallas TPU SRU backend v3 — whole-stack (L, C, B) orientation.
 
-v2 (``sru_kernel_v2.py``) proved the batch-on-lanes recurrence kernel
+v2 (a per-direction kernel fed from the model's layout; measured, then
+deleted — see DESIGN.md) proved the batch-on-lanes recurrence kernel
 beats the unrolled ``lax.scan`` per direction, but feeding it from the
 model's (L, B, C) sequence layout cost more than it saved: the
 (L,B,C)→(L,H,B) boundary transposes (~42 ms) and batch padding (~18 ms)
@@ -74,10 +75,12 @@ def _pick_tile(L: int, k: int, O: int, B: int, itemsize: int) -> int:
     """Largest lane tile whose (u, skip, out) blocks double-buffer within
     the ~16 MB VMEM budget. Mosaic requires the lane block dim to be a
     multiple of 128 or exactly the array dim, so sub-128 tiles are only
-    legal when they cover all of B."""
+    legal when they cover all of B. k==4 streams no skip block (the 4th
+    u chunk IS the highway; the kernel gets a (1,1,1) placeholder)."""
+    n_chan = k * O + O + (O if k == 3 else 0)  # u + out (+ skip iff k==3)
     tiles = (256, 128) if B >= 128 else (B,)
     for tile in tiles:
-        bufs = (k * O + 2 * O) * L * tile * itemsize  # u + skip + out
+        bufs = n_chan * L * tile * itemsize
         if bufs * 2 + 4 * O * tile * 4 < 13e6:
             return tile
     return 0
@@ -86,9 +89,9 @@ def _pick_tile(L: int, k: int, O: int, B: int, itemsize: int) -> int:
 def _pick_chunk(k: int, O: int, B: int, itemsize: int):
     """(L_chunk, B_tile) for the carry-chunked per-direction path: one
     (Lc, k·O + H + H) block set per call, plus the (H, tile) carries."""
+    n_chan = k * O + O + (O if k == 3 else 0)  # u + out (+ skip iff k==3)
     for tile in ((256, 128) if B >= 128 else (B,)):
-        # u + skip + out, per direction (out is H-wide, skip H-wide)
-        per_row = (k * O + 2 * (O // 1)) * tile * itemsize
+        per_row = n_chan * tile * itemsize
         lc = int(10e6 / (2 * per_row)) // 8 * 8
         if lc >= 32:
             return lc, tile
@@ -144,6 +147,13 @@ def _chunked_direction(u, skip, gates_d, *, H, O, k, d, L, B, Lc, B_tile,
     order = range(n_chunks - 1, -1, -1) if reverse else range(n_chunks)
     c = jnp.zeros((H, B), jnp.float32)
     outs = [None] * n_chunks
+    skip_spec = (
+        # k==4: the kernel never reads skip — a (1,1,1) placeholder block
+        # avoids DMA-ing an unread (Lc, O, B_tile) stream per chunk
+        pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if skip_from_u else
+        None)
     for ci in order:
         n_valid = min(Lc, L - ci * Lc)
         call = pl.pallas_call(
@@ -155,6 +165,7 @@ def _chunked_direction(u, skip, gates_d, *, H, O, k, d, L, B, Lc, B_tile,
                 pl.BlockSpec((Lc, k * O, B_tile),
                              lambda i, ci=ci: (ci, 0, i),
                              memory_space=pltpu.VMEM),
+                skip_spec or
                 pl.BlockSpec((Lc, O, B_tile),
                              lambda i, ci=ci: (ci, 0, i),
                              memory_space=pltpu.VMEM),
@@ -195,8 +206,12 @@ def sru_stack_layer(u, skip, v, b, *, H: int, k: int, ndir: int,
     O = H * ndir
     assert KO == k * O
     skip_from_u = k == 4
-    if skip is None:
-        skip = u[:, :O, :]  # unused; placeholder ref of the right shape
+    if skip_from_u:
+        # the kernel never reads skip when k==4 (the 4th u chunk is the
+        # highway): a (1,1,1) placeholder avoids materializing/streaming
+        # an unread (L, O, B) array on the hot path
+        skip = jnp.zeros((1, 1, 1), u.dtype)
+    assert skip is not None
 
     gs = []
     for d in range(ndir):
@@ -211,7 +226,8 @@ def sru_stack_layer(u, skip, v, b, *, H: int, k: int, ndir: int,
         B_pad = -(-B // B_tile) * B_tile
         if B_pad != B:
             u = jnp.pad(u, ((0, 0), (0, 0), (0, B_pad - B)))
-            skip = jnp.pad(skip, ((0, 0), (0, 0), (0, B_pad - B)))
+            if not skip_from_u:
+                skip = jnp.pad(skip, ((0, 0), (0, 0), (0, B_pad - B)))
         dirs = [
             _chunked_direction(
                 u, skip, gates[d * 4 * H:(d + 1) * 4 * H], H=H, O=O, k=k,
@@ -224,7 +240,8 @@ def sru_stack_layer(u, skip, v, b, *, H: int, k: int, ndir: int,
     B_pad = -(-B // B_tile) * B_tile
     if B_pad != B:
         u = jnp.pad(u, ((0, 0), (0, 0), (0, B_pad - B)))
-        skip = jnp.pad(skip, ((0, 0), (0, 0), (0, B_pad - B)))
+        if not skip_from_u:
+            skip = jnp.pad(skip, ((0, 0), (0, 0), (0, B_pad - B)))
 
     out = pl.pallas_call(
         functools.partial(_kernel, H=H, O=O, k=k, ndir=ndir,
@@ -233,6 +250,9 @@ def sru_stack_layer(u, skip, v, b, *, H: int, k: int, ndir: int,
         in_specs=[
             pl.BlockSpec((L, KO, B_tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+            if skip_from_u else
             pl.BlockSpec((L, O, B_tile), lambda i: (0, 0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((4 * H * ndir, 1), lambda i: (0, 0),

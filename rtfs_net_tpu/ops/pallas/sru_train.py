@@ -119,7 +119,10 @@ def _bwd_kernel(u0_ref, u1_ref, u2_ref, sk_ref, c_ref, g_ref, dh_ref,
 
 
 def _vmem_tile(L: int, H: int, B: int, itemsize: int, n_bufs: int) -> int:
-    tiles = [t for t in (256, 128) if t <= B] or [B]
+    # only tiles that divide B: grid=(B // tile,) covers every batch
+    # column iff tile | B (a 256 tile on B=384 would silently skip the
+    # last 128 columns)
+    tiles = [t for t in (256, 128) if t <= B and B % t == 0] or [B]
     for tile in tiles:
         if n_bufs * L * H * tile * itemsize * 2 + 6 * H * tile * 4 < 13e6:
             return tile
@@ -142,6 +145,7 @@ def _gates(v_f, v_r, b_f, b_r):
 def _fwd_call(u0, u1, u2, sk, gates, reverse, interpret):
     L, H, B = u0.shape
     tile = _vmem_tile(L, H, B, u0.dtype.itemsize, 11) or 128
+    assert B % tile == 0, (B, tile)
 
     def bspec():
         return pl.BlockSpec((L, H, tile), lambda i: (0, 0, i),
@@ -163,6 +167,7 @@ def _fwd_call(u0, u1, u2, sk, gates, reverse, interpret):
 def _bwd_call(u0, u1, u2, sk, c, gates, dh, reverse, interpret):
     L, H, B = u0.shape
     tile = _vmem_tile(L, H, B, u0.dtype.itemsize, 11) or 128
+    assert B % tile == 0, (B, tile)
     n_tiles = B // tile
 
     def bspec():

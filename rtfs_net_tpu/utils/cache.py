@@ -27,8 +27,18 @@ def configure_xla_flags() -> None:
     if os.environ.get("RTFS_NO_XLA_WORKAROUNDS") == "1":
         return
     cur = os.environ.get("XLA_FLAGS", "")
-    if "space-to-batch-converter" not in cur:
-        os.environ["XLA_FLAGS"] = (cur + " " + _WORKAROUND_FLAGS).strip()
+    if "space-to-batch-converter" in cur:
+        return
+    # XLA parses repeated flags last-wins: a user-supplied
+    # --xla_disable_hlo_passes list must be MERGED with ours, not
+    # shadowed by a second instance of the flag.
+    parts = cur.split()
+    for i, p in enumerate(parts):
+        if p.startswith("--xla_disable_hlo_passes="):
+            parts[i] = p + ",space-to-batch-converter"
+            os.environ["XLA_FLAGS"] = " ".join(parts)
+            return
+    os.environ["XLA_FLAGS"] = (cur + " " + _WORKAROUND_FLAGS).strip()
 
 
 def enable_compilation_cache(path: str | None = None) -> str | None:

@@ -103,8 +103,11 @@ def main(argv=None):
     p.add_argument("--pth", required=True,
                    help="reference best_model.pth (or Lightning ckpt)")
     p.add_argument("--conf", required=True,
-                   help="config YAML supplying data/training/log sections "
-                        "(audionet used only if the blob lacks model_args)")
+                   help="config YAML supplying data/training/log sections; "
+                        "its audionet section provides the constructor "
+                        "kwargs (published blobs carry the reflective "
+                        "get_config() dict, not kwargs — reference "
+                        "test.py:39 reads them from conf.yaml too)")
     p.add_argument("--exp-dir", required=True,
                    help="output experiment directory")
     args = p.parse_args(argv)

@@ -60,6 +60,59 @@ def test_supported_gate():
     assert sru_v3_supported(494, 8320, 32, 3, 2, 2)
 
 
+def test_chunked_path_parity(rng, monkeypatch):
+    """Carry-chunked long-L path (forced via the tile pickers so it runs
+    at CPU-interpret scale): parity vs scan, including the k==4
+    placeholder-skip block and a partial tail chunk (L=33, Lc=16)."""
+    from rtfs_net_tpu.ops.pallas import sru_kernel_v3 as v3
+
+    monkeypatch.setattr(v3, "_pick_tile", lambda *a: 0)
+    monkeypatch.setattr(v3, "_pick_chunk", lambda *a: (16, 16))
+    v3.sru_stack_layer.clear_cache()
+    Bp, C, T, k_w, H = 16, 16, 40, 8, 8  # L = 33 -> chunks of 16,16,1
+    m = SRU(input_size=C * k_w, hidden_size=H, num_layers=2,
+            bidirectional=True)
+    x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x, window=(k_w, 1))
+    y_scan = m.apply(p, x, window=(k_w, 1), unroll=8)
+    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
+    y_ch = m.apply(p, x, window=(k_w, 1), unroll=8)
+    np.testing.assert_allclose(np.asarray(y_ch), np.asarray(y_scan),
+                               atol=1e-5, rtol=1e-5)
+    v3.sru_stack_layer.clear_cache()
+
+
+def test_train_kernel_nondividing_tile_batch(rng, monkeypatch):
+    """Regression: B=384 is 128-aligned but NOT 256-aligned; the VMEM tile
+    chooser must not pick a 256 tile there (grid=(B//256,)=(1,) would leave
+    batch columns 256..383 unwritten). Shapes chosen so a 256 tile fits
+    VMEM (small L, f32) — the exact case that used to drop columns."""
+    Bp, C, T, k_w, H = 384, 16, 19, 8, 8
+    m = SRU(input_size=C * k_w, hidden_size=H, num_layers=1,
+            bidirectional=True)
+    x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
+    p = m.init(jax.random.PRNGKey(0), x, window=(k_w, 1))
+    y_s = m.apply(p, x, window=(k_w, 1), unroll=1)
+    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
+    monkeypatch.setenv("RTFS_PALLAS_SRU_TRAIN", "1")
+    y_k = m.apply(p, x, window=(k_w, 1), unroll=1)
+    # compare every batch row — a dropped tile shows up as a zero tail
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_s), atol=1e-5)
+
+    def loss(p):
+        return jnp.sum(jnp.square(m.apply(p, x, window=(k_w, 1), unroll=1)))
+
+    g_k = jax.grad(loss)(p)
+    monkeypatch.delenv("RTFS_PALLAS_SRU_INTERPRET")
+    monkeypatch.delenv("RTFS_PALLAS_SRU_TRAIN")
+    g_s = jax.grad(loss)(p)
+    for a, b in zip(jax.tree_util.tree_leaves(g_k),
+                    jax.tree_util.tree_leaves(g_s)):
+        scale = max(1.0, float(np.max(np.abs(np.asarray(b)))))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4 * scale)
+
+
 def test_train_kernel_grads_match_scan(rng, monkeypatch):
     """RTFS_PALLAS_SRU_TRAIN=1 routes the differentiated step through the
     custom_vjp Pallas kernels; grads must match scan autodiff."""
