@@ -56,6 +56,7 @@ def export_serving(
     mouth_shape: Optional[Sequence[int]] = None,
     compute_dtype: Any = jnp.bfloat16,
     platforms: Optional[Sequence[str]] = None,
+    mesh_devices: int = 1,
 ):
     """Lower ``model.apply`` at fixed serving shapes to an Exported.
 
@@ -63,6 +64,16 @@ def export_serving(
     ``(512, 50)``); None exports the audio-only calling convention.
     I/O stays f32; compute runs in ``compute_dtype`` (bf16 = the measured
     serving precision, 43 dB agreement with f32 — DESIGN.md).
+
+    ``mesh_devices > 1`` exports a MULTI-CHIP artifact: the serving fn is
+    ``shard_map``-ped over a 1-D ``data`` mesh (batch sharded, weights
+    replicated as per-shard constants). Every device runs the exact
+    single-device program — nothing in the model mixes the batch axis
+    (eval-mode BN uses running stats), so per-shard execution is
+    numerically identical to single-device, and the Pallas SRU backend
+    stays eligible (no SPMD partitioner around the mosaic custom call).
+    The Exported records ``nr_devices``; loading requires that many
+    devices visible.
     """
     dt = _DTYPES[compute_dtype] if isinstance(compute_dtype, str) else compute_dtype
     from .models import for_inference
@@ -85,10 +96,33 @@ def export_serving(
             jax.ShapeDtypeStruct((batch_size, *mouth_shape), jnp.float32),
         )
 
+    if mesh_devices > 1:
+        mesh, sh = _serving_mesh(mesh_devices)
+        assert batch_size % mesh_devices == 0, (
+            f"batch_size {batch_size} must shard evenly over "
+            f"{mesh_devices} devices")
+        from jax.sharding import PartitionSpec as P
+
+        fn = jax.shard_map(fn, mesh=mesh, in_specs=P("data"),
+                           out_specs=P("data"), check_vma=False)
+        jitted = jax.jit(fn, in_shardings=(sh,) * len(args), out_shardings=sh)
+    else:
+        jitted = jax.jit(fn)
+
     kw = {}
     if platforms is not None:
         kw["platforms"] = tuple(platforms)
-    return jexport.export(jax.jit(fn), **kw)(*args)
+    return jexport.export(jitted, **kw)(*args)
+
+
+def _serving_mesh(n: int):
+    """1-D ``data`` mesh over the first n local devices + batch sharding."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    assert len(devs) >= n, f"need {n} devices for this artifact, have {len(devs)}"
+    mesh = Mesh(np.array(devs[:n]), ("data",))
+    return mesh, NamedSharding(mesh, P("data"))
 
 
 def save_serving(
@@ -110,6 +144,7 @@ def save_serving(
         "mouth_shape": list(mouth_shape) if mouth_shape is not None else None,
         "compute_dtype": compute_dtype,
         "platforms": list(exported.platforms),
+        "nr_devices": int(getattr(exported, "nr_devices", 1)),
         "stablehlo_version": getattr(exported, "calling_convention_version", None),
     }
     header.update(extra or {})
@@ -144,6 +179,7 @@ def save_serving_multi(
         "mouth_shape": list(mouth_shape) if mouth_shape is not None else None,
         "compute_dtype": compute_dtype,
         "platforms": list(any_exp.platforms),
+        "nr_devices": int(getattr(any_exp, "nr_devices", 1)),
         "stablehlo_version": getattr(any_exp, "calling_convention_version", None),
     }
     header.update(extra or {})
@@ -185,6 +221,25 @@ class ServingArtifact:
         self.exports = dict(sorted(exports_by_batch.items()))
         self.header = header
         self.batch_sizes = list(self.exports)
+        self._fns: Dict[int, Any] = {}
+
+    def _bucket_fn(self, b: int):
+        """The callable for one bucket; multi-device artifacts get their
+        call wrapped in a jit over the artifact's 1-D data mesh (batch
+        sharded in/out), built lazily on first dispatch."""
+        fn = self._fns.get(b)
+        if fn is None:
+            exp = self.exports[b]
+            n = int(getattr(exp, "nr_devices", 1))
+            if n > 1:
+                _, sh = _serving_mesh(n)
+                nargs = 1 if self.header.get("mouth_shape") is None else 2
+                fn = jax.jit(exp.call, in_shardings=(sh,) * nargs,
+                             out_shardings=sh)
+            else:
+                fn = exp.call
+            self._fns[b] = fn
+        return fn
 
     def __call__(self, mix, mouth=None):
         mix = np.asarray(mix)
@@ -209,7 +264,7 @@ class ServingArtifact:
                 return chunk
 
             args = (prep(mix),) if mouth is None else (prep(mix), prep(mouth))
-            y = self.exports[b].call(*args)
+            y = self._bucket_fn(b)(*args)
             outs.append(np.asarray(y)[:take])
             i += take
         return np.concatenate(outs) if len(outs) > 1 else outs[0]

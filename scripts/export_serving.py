@@ -37,6 +37,11 @@ def main(argv=None):
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--platforms", default=None,
                    help="comma list (e.g. tpu,cpu); default: current backend")
+    p.add_argument("--mesh-devices", type=int, default=1,
+                   help="export a multi-chip artifact: batch shard_map-ped "
+                        "over a 1-D data mesh of N devices (weights "
+                        "replicated); every batch size must divide by N and "
+                        "serving requires N devices visible")
     args = p.parse_args(argv)
 
     from rtfs_net_tpu.utils.cache import enable_compilation_cache
@@ -70,7 +75,8 @@ def main(argv=None):
         exports = {
             b: export_serving(model, variables, b, segment_samples,
                               mouth_shape=mouth_shape, compute_dtype=args.dtype,
-                              platforms=platforms)
+                              platforms=platforms,
+                              mesh_devices=args.mesh_devices)
             for b in sizes
         }
         save_serving_multi(out, exports, segment_samples,
@@ -82,7 +88,7 @@ def main(argv=None):
         exported = export_serving(
             model, variables, args.batch_size, segment_samples,
             mouth_shape=mouth_shape, compute_dtype=args.dtype,
-            platforms=platforms,
+            platforms=platforms, mesh_devices=args.mesh_devices,
         )
         save_serving(out, exported, args.batch_size, segment_samples,
                      mouth_shape=mouth_shape, compute_dtype=args.dtype,

@@ -119,6 +119,42 @@ def test_bucketed_artifact_serves_any_batch(tiny_model, tmp_path):
         np.testing.assert_allclose(got, np.asarray(want), atol=1e-5, rtol=1e-4)
 
 
+def test_mesh_sharded_artifact(tiny_model, tmp_path):
+    """mesh_devices=8: the serving fn is shard_map-ped over the 1-D data
+    mesh (batch sharded, weights replicated). Per-shard execution is the
+    exact single-device program, so results must match model.apply; the
+    loader rebuilds the mesh from the Exported's nr_devices."""
+    model, variables = tiny_model
+    n_dev = 8
+    exports = {
+        b: export_serving(model, variables, b, L, mouth_shape=(EMB, TV),
+                          compute_dtype=jnp.float32, mesh_devices=n_dev)
+        for b in (8, 16)
+    }
+    assert all(e.nr_devices == n_dev for e in exports.values())
+    path = str(tmp_path / "mesh.rtfsx")
+    save_serving_multi(path, exports, L, mouth_shape=(EMB, TV),
+                       compute_dtype="float32")
+    art = load_artifact(path)
+    assert art.header["nr_devices"] == n_dev
+
+    rng = np.random.default_rng(7)
+    for n in (8, 11, 19):  # exact fit, pad, chunk-over-largest
+        mix = jnp.asarray(rng.standard_normal((n, L)).astype(np.float32))
+        mouth = jnp.asarray(rng.standard_normal((n, EMB, TV)).astype(np.float32))
+        want = np.asarray(model.apply(variables, mix, mouth))
+        got = art(mix, mouth)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_mesh_export_requires_divisible_batch(tiny_model):
+    model, variables = tiny_model
+    with pytest.raises(AssertionError, match="shard evenly"):
+        export_serving(model, variables, 9, L, mouth_shape=(EMB, TV),
+                       compute_dtype=jnp.float32, mesh_devices=8)
+
+
 def test_load_artifact_reads_single_bucket_format(tiny_model, tmp_path):
     model, variables = tiny_model
     exported = export_serving(model, variables, B, L, mouth_shape=(EMB, TV),
