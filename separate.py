@@ -9,6 +9,10 @@ inference helper, ``src/utils/separator.py:22-68``, as a user-facing tool).
 Loads an exported model, separates one wav (optionally conditioned on a
 mouth-ROI npz through the frozen video backbone), rescales output energy
 to the input's and writes ``<stem>_s{i}.wav``.
+
+``--model`` also accepts an AOT serving artifact (``model.rtfsx`` from
+``scripts/export_serving.py``): inputs pad to the artifact's exported
+segment length, and no model zoo/config is touched at run time.
 """
 import argparse
 import os
@@ -26,10 +30,26 @@ def main(args):
     from rtfs_net_tpu.models import serialization
     from rtfs_net_tpu.utils.separator import separate
 
-    model, variables, header = serialization.load_model(args.model)
+    artifact = None
+    if args.model.endswith(".rtfsx"):
+        # AOT serving artifact: pinned shapes, weights baked in — no model
+        # zoo / config needed. Inputs pad to the exported segment length.
+        from rtfs_net_tpu.export import load_artifact
+
+        artifact = load_artifact(args.model)
+        model = variables = None
+    else:
+        model, variables, header = serialization.load_model(args.model)
     wav, sr = wavio.read(args.input)
     L = wav.shape[-1]
-    bucket = max(1, args.bucket_size)
+    if artifact is not None:
+        bucket = int(artifact.header["segment_samples"])
+        if L > bucket and not getattr(args, "chunk_seconds", 0):
+            raise SystemExit(
+                f"input ({L} samples) exceeds the artifact's exported "
+                f"segment ({bucket}); use --chunk-seconds for long-form")
+    else:
+        bucket = max(1, args.bucket_size)
     pad_L = -(-L // bucket) * bucket
     mix = jnp.asarray(np.pad(wav, (0, pad_L - L))[None])
 
@@ -59,13 +79,36 @@ def main(args):
             raise SystemExit("--mouth given but no videonet config; pass "
                              "--videonet-conf with a videonet: block")
 
-    dtype = jnp.bfloat16 if args.bf16 else jnp.float32
-    from rtfs_net_tpu.models import for_inference
+    if artifact is not None:
+        mouth_shape = artifact.header.get("mouth_shape")
+        if (mouth_emb is None) != (mouth_shape is None):
+            raise SystemExit(
+                "artifact calling convention is "
+                f"{artifact.header['calling_convention']!r} but "
+                f"{'no ' if mouth_emb is None else ''}mouth input was given")
+        if mouth_emb is not None:
+            tv = int(mouth_shape[-1])
+            cur = mouth_emb.shape[-1]
+            if cur > tv:
+                raise SystemExit(f"mouth track ({cur} frames) exceeds the "
+                                 f"artifact's exported {tv}")
+            if cur < tv:
+                mouth_emb = jnp.pad(mouth_emb,
+                                    ((0, 0), (0, 0), (0, tv - cur)))
+            mouth_emb = np.asarray(mouth_emb, np.float32)
 
-    model = for_inference(model)
-    fwd = jax.jit(lambda v, m, e: model.apply(
-        v, m.astype(dtype), None if e is None else e.astype(dtype)
-    ).astype(jnp.float32))
+        def fwd(_v, m, e):
+            m = np.asarray(m, np.float32)
+            out = artifact(m) if e is None else artifact(m, e)
+            return jnp.asarray(out)
+    else:
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+        from rtfs_net_tpu.models import for_inference
+
+        model = for_inference(model)
+        fwd = jax.jit(lambda v, m, e: model.apply(
+            v, m.astype(dtype), None if e is None else e.astype(dtype)
+        ).astype(jnp.float32))
 
     chunk = getattr(args, "chunk_seconds", 0) or 0
     if chunk > 0:
@@ -80,6 +123,10 @@ def main(args):
         from rtfs_net_tpu.utils.features import split_feature, merge_feature
 
         block = int(chunk * sr)
+        if artifact is not None and block != bucket:
+            raise SystemExit(
+                f"--chunk-seconds must match the artifact's exported "
+                f"segment: {bucket / sr:g} s ({bucket} samples)")
         raw = jnp.asarray(wav[None])  # chunking does its own padding
         blocks, rest = split_feature(raw[:, None, :], block)  # (1,1,block,n)
         n = blocks.shape[-1]
@@ -103,7 +150,8 @@ def main(args):
 
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
-    p.add_argument("--model", required=True, help="best_model.ckpt path")
+    p.add_argument("--model", required=True,
+                   help="best_model.ckpt path, or a .rtfsx serving artifact")
     p.add_argument("--input", required=True, help="mixture wav")
     p.add_argument("--mouth", default=None, help="mouth-ROI npz of the target speaker")
     p.add_argument("--videonet-conf", default=None,

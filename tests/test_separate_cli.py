@@ -66,6 +66,56 @@ def test_separate_cli_chunked(tmp_path, rng):
     assert np.isfinite(data).all() and np.abs(data).max() > 0
 
 
+def test_separate_cli_artifact(tmp_path, rng):
+    """--model accepts a .rtfsx serving artifact; output matches the
+    ckpt-path run (same weights, f32 — only the XLA compilation differs)."""
+    conf = {**TINY_AUDIONET}
+    conf["video_params"] = {}
+    conf["fusion_params"] = {}
+    model = AVNet(**conf)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 2000)), None)
+    ckpt = str(tmp_path / "best_model.ckpt")
+    serialization.save_model(ckpt, "AVNet", conf, v)
+
+    from rtfs_net_tpu.export import export_serving, save_serving
+
+    exported = export_serving(model, v, 1, 2000, mouth_shape=None,
+                              compute_dtype=jnp.float32)
+    art = str(tmp_path / "model.rtfsx")
+    save_serving(art, exported, 1, 2000, compute_dtype="float32")
+
+    wav_path = str(tmp_path / "mix.wav")
+    wavio.write(wav_path, rng.standard_normal(1500).astype(np.float32) * 0.1,
+                16000)
+
+    import separate as cli
+
+    cli.main(argparse.Namespace(
+        model=ckpt, input=wav_path, mouth=None, videonet_conf=None,
+        output=str(tmp_path / "out_ckpt"), bucket_size=2000, bf16=False,
+    ))
+    cli.main(argparse.Namespace(
+        model=art, input=wav_path, mouth=None, videonet_conf=None,
+        output=str(tmp_path / "out_art"), bucket_size=4000, bf16=False,
+    ))
+    want, _ = wavio.read(str(tmp_path / "out_ckpt" / "mix_s1.wav"))
+    got, sr = wavio.read(str(tmp_path / "out_art" / "mix_s1.wav"))
+    assert sr == 16000 and got.shape[0] == 1500
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    # over-length input without chunking is refused with the right hint
+    long_path = str(tmp_path / "long.wav")
+    wavio.write(long_path,
+                rng.standard_normal(5000).astype(np.float32) * 0.1, 16000)
+    import pytest
+
+    with pytest.raises(SystemExit, match="chunk-seconds"):
+        cli.main(argparse.Namespace(
+            model=art, input=long_path, mouth=None, videonet_conf=None,
+            output=str(tmp_path / "out_art2"), bucket_size=4000, bf16=False,
+        ))
+
+
 def test_split_merge_halved_roundtrip(rng):
     """merge(split(x)) doubles every sample (each lands in exactly two
     50%-overlap blocks after the stride padding); halving reconstructs
