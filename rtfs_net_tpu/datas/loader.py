@@ -58,6 +58,19 @@ _WORKER_COLLATE = None
 
 
 def _worker_init(ds_bytes: bytes, collate_bytes: bytes) -> None:
+    # Workers are slaves whose lifecycle the parent manages (close()
+    # terminates the pool). Preemption signals are delivered to the whole
+    # process GROUP on SLURM/k8s; if a worker died on SIGTERM its in-flight
+    # task would never resolve and the trainer would hang in q.get()
+    # instead of reaching the step boundary that writes the preempt
+    # checkpoint — so workers ignore the signals the parent handles.
+    import signal
+
+    for sig in (signal.SIGINT, signal.SIGTERM, signal.SIGUSR1):
+        try:
+            signal.signal(sig, signal.SIG_IGN)
+        except (ValueError, OSError):  # non-main thread / exotic platform
+            pass
     global _WORKER_DS, _WORKER_COLLATE
     _WORKER_DS = pickle.loads(ds_bytes)
     _WORKER_COLLATE = pickle.loads(collate_bytes)
@@ -158,6 +171,19 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # stop-aware bounded put: a consumer that abandons iteration
+            # mid-epoch (preemption, test teardown) sets `stop`, and the
+            # producer must not stay blocked forever in q.put() holding
+            # decoded batches
+            while True:
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    if stop.is_set():
+                        return False
+
         if self.worker_type == "process":
             pool = self._get_pool()
 
@@ -176,7 +202,16 @@ class DataLoader:
                 while not inflight.empty():
                     if stop.is_set():
                         return
-                    q.put(inflight.get().get())
+                    res = inflight.get()
+                    while True:  # poll so a dead worker can't hang us
+                        try:
+                            val = res.get(1.0)
+                            break
+                        except mp.TimeoutError:
+                            if stop.is_set():
+                                return
+                    if not put_or_stop(val):
+                        return
                     b = next(it, None)
                     if b is not None:
                         inflight.put(pool.apply_async(_worker_batch, (b,)))
@@ -188,14 +223,15 @@ class DataLoader:
                             return
                         samples = list(
                             tpool.map(self.dataset.__getitem__, batch_idx))
-                        q.put(self.collate_fn(samples))
+                        if not put_or_stop(self.collate_fn(samples)):
+                            return
 
         def producer():
             try:
                 produce()
-                q.put(None)
+                put_or_stop(None)
             except Exception as e:  # surface worker failures to the consumer
-                q.put(e)
+                put_or_stop(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

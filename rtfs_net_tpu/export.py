@@ -125,6 +125,34 @@ def _serving_mesh(n: int):
     return mesh, NamedSharding(mesh, P("data"))
 
 
+def _base_header(exported, segment_samples, mouth_shape, compute_dtype,
+                 extra) -> Dict[str, Any]:
+    header = {
+        "calling_convention": (
+            "separated = f(mix_f32[B, L])" if mouth_shape is None
+            else "separated = f(mix_f32[B, L], mouth_f32[B, *mouth])"
+        ),
+        "segment_samples": int(segment_samples),
+        "mouth_shape": list(mouth_shape) if mouth_shape is not None else None,
+        "compute_dtype": compute_dtype,
+        "platforms": list(exported.platforms),
+        "nr_devices": int(getattr(exported, "nr_devices", 1)),
+        "stablehlo_version": getattr(exported, "calling_convention_version", None),
+    }
+    header.update(extra or {})
+    return header
+
+
+def _write_frame(path: str, magic: bytes, header: Dict[str, Any],
+                 blobs: Sequence[bytes]) -> None:
+    hdr = json.dumps(header).encode()
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(magic + struct.pack("<Q", len(hdr)) + hdr)
+        for blob in blobs:
+            f.write(blob)
+
+
 def save_serving(
     path: str,
     exported,
@@ -134,24 +162,10 @@ def save_serving(
     compute_dtype: str = "bfloat16",
     extra: Optional[Dict[str, Any]] = None,
 ) -> None:
-    header = {
-        "calling_convention": (
-            "separated = f(mix_f32[B, L])" if mouth_shape is None
-            else "separated = f(mix_f32[B, L], mouth_f32[B, *mouth])"
-        ),
-        "batch_size": int(batch_size),
-        "segment_samples": int(segment_samples),
-        "mouth_shape": list(mouth_shape) if mouth_shape is not None else None,
-        "compute_dtype": compute_dtype,
-        "platforms": list(exported.platforms),
-        "nr_devices": int(getattr(exported, "nr_devices", 1)),
-        "stablehlo_version": getattr(exported, "calling_convention_version", None),
-    }
-    header.update(extra or {})
-    hdr = json.dumps(header).encode()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(_MAGIC + struct.pack("<Q", len(hdr)) + hdr + bytes(exported.serialize()))
+    header = {"batch_size": int(batch_size),
+              **_base_header(exported, segment_samples, mouth_shape,
+                             compute_dtype, extra)}
+    _write_frame(path, _MAGIC, header, [bytes(exported.serialize())])
 
 
 def save_serving_multi(
@@ -165,30 +179,22 @@ def save_serving_multi(
     """Write a bucketed ``RTFSXPT2`` artifact (one Exported per batch size)."""
     sizes = sorted(exports_by_batch)
     blobs = [bytes(exports_by_batch[b].serialize()) for b in sizes]
-    any_exp = exports_by_batch[sizes[0]]
-    header = {
-        "calling_convention": (
-            "separated = f(mix_f32[B, L])" if mouth_shape is None
-            else "separated = f(mix_f32[B, L], mouth_f32[B, *mouth])"
-        ),
-        "buckets": [
-            {"batch_size": int(b), "length": len(blob)}
-            for b, blob in zip(sizes, blobs)
-        ],
-        "segment_samples": int(segment_samples),
-        "mouth_shape": list(mouth_shape) if mouth_shape is not None else None,
-        "compute_dtype": compute_dtype,
-        "platforms": list(any_exp.platforms),
-        "nr_devices": int(getattr(any_exp, "nr_devices", 1)),
-        "stablehlo_version": getattr(any_exp, "calling_convention_version", None),
-    }
-    header.update(extra or {})
-    hdr = json.dumps(header).encode()
-    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(_MAGIC2 + struct.pack("<Q", len(hdr)) + hdr)
-        for blob in blobs:
-            f.write(blob)
+    header = {"buckets": [{"batch_size": int(b), "length": len(blob)}
+                          for b, blob in zip(sizes, blobs)],
+              **_base_header(exports_by_batch[sizes[0]], segment_samples,
+                             mouth_shape, compute_dtype, extra)}
+    _write_frame(path, _MAGIC2, header, blobs)
+
+
+def _read_frame(path: str) -> Tuple[bytes, Dict[str, Any], bytes]:
+    """Parse the shared RTFSXPT framing: (magic, header, body bytes)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    magic = blob[:8]
+    assert magic in (_MAGIC, _MAGIC2), f"{path}: not an rtfs_net_tpu export"
+    (hlen,) = struct.unpack("<Q", blob[8:16])
+    header = json.loads(blob[16:16 + hlen].decode())
+    return magic, header, blob[16 + hlen:]
 
 
 def load_serving(path: str) -> Tuple[Any, Dict[str, Any]]:
@@ -198,13 +204,9 @@ def load_serving(path: str) -> Tuple[Any, Dict[str, Any]]:
     Single-bucket ``RTFSXPT1`` files only; use :func:`load_artifact` for
     the general (either-format) loader.
     """
-    with open(path, "rb") as f:
-        blob = f.read()
-    assert blob[:8] == _MAGIC, f"{path}: not an rtfs_net_tpu export"
-    (hlen,) = struct.unpack("<Q", blob[8:16])
-    header = json.loads(blob[16:16 + hlen].decode())
-    exported = jexport.deserialize(bytearray(blob[16 + hlen:]))
-    return exported, header
+    magic, header, body = _read_frame(path)
+    assert magic == _MAGIC, f"{path}: bucketed artifact — use load_artifact"
+    return jexport.deserialize(bytearray(body)), header
 
 
 class ServingArtifact:
@@ -247,6 +249,8 @@ class ServingArtifact:
             mouth = np.asarray(mouth)
             assert mouth.shape[0] == mix.shape[0], "mix/mouth batch mismatch"
         total = mix.shape[0]
+        if total == 0:
+            raise ValueError("empty request batch (mix.shape[0] == 0)")
         sizes = self.batch_sizes
         outs = []
         i = 0
@@ -275,15 +279,10 @@ def load_artifact(path: str) -> ServingArtifact:
 
     Only needs jax + numpy — no rtfs_net_tpu model code at serve time.
     """
-    with open(path, "rb") as f:
-        blob = f.read()
-    magic = blob[:8]
-    (hlen,) = struct.unpack("<Q", blob[8:16])
-    header = json.loads(blob[16:16 + hlen].decode())
-    body = blob[16 + hlen:]
+    magic, header, body = _read_frame(path)
     if magic == _MAGIC:
         exports = {int(header["batch_size"]): jexport.deserialize(bytearray(body))}
-    elif magic == _MAGIC2:
+    else:
         exports, off = {}, 0
         for bucket in header["buckets"]:
             n = int(bucket["length"])
@@ -291,6 +290,4 @@ def load_artifact(path: str) -> ServingArtifact:
                 bytearray(body[off:off + n]))
             off += n
         assert off == len(body), f"{path}: trailing bytes in artifact body"
-    else:
-        raise AssertionError(f"{path}: not an rtfs_net_tpu export")
     return ServingArtifact(exports, header)

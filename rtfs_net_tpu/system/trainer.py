@@ -147,6 +147,14 @@ class Trainer:
             for sig, handler in prev_handlers.items():
                 signal.signal(sig, handler)
 
+    def _sched_state(self) -> Dict:
+        sched_state = {}
+        if self.plateau:
+            sched_state["plateau"] = self.plateau.state_dict()
+        if self.early:
+            sched_state["early"] = self.early.state_dict()
+        return sched_state
+
     def _fit_loop(self, state, train_loader, val_loader, rng, global_step):
         for epoch in range(self.start_epoch, self.epochs):
             epoch_t0 = time.time()
@@ -163,13 +171,8 @@ class Trainer:
                 if self._preempted:
                     break
             if self._preempted:
-                sched_state = {}
-                if self.plateau:
-                    sched_state["plateau"] = self.plateau.state_dict()
-                if self.early:
-                    sched_state["early"] = self.early.state_dict()
                 self.ckpt.save_preempt(state, epoch - 1,
-                                       extra={"schedulers": sched_state})
+                                       extra={"schedulers": self._sched_state()})
                 print(f"preempted during epoch {epoch}: saved 'preempt' "
                       f"checkpoint; resume restarts epoch {epoch}", flush=True)
                 break
@@ -179,6 +182,19 @@ class Trainer:
             for batch in val_loader:
                 out = self.val_step(state, self._prep_batch(batch))
                 val_losses.append(float(out["val_loss"]))
+                if self._preempted:
+                    break
+            if self._preempted:
+                # training of this epoch IS complete — checkpoint now
+                # (bounded by one val step) rather than after the whole
+                # val sweep + epoch save, which could outlast the
+                # preemption grace window on a large val set
+                self.ckpt.save_preempt(state, epoch,
+                                       extra={"schedulers": self._sched_state()})
+                print(f"preempted during validation of epoch {epoch}: "
+                      f"saved 'preempt' checkpoint; resume starts epoch "
+                      f"{epoch + 1}", flush=True)
+                break
             val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
 
             lr = get_lr(state.opt_state)
@@ -202,13 +218,8 @@ class Trainer:
                 state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
                 print(f"  lr -> {new_lr:.2e}")
 
-            sched_state = {}
-            if self.plateau:
-                sched_state["plateau"] = self.plateau.state_dict()
-            if self.early:
-                sched_state["early"] = self.early.state_dict()
             self.ckpt.save(state, epoch, val_loss,
-                           extra={"schedulers": sched_state})
+                           extra={"schedulers": self._sched_state()})
 
             if self.early is not None and self.early.step(val_loss):
                 print(f"early stopping at epoch {epoch}")

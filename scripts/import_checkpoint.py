@@ -86,10 +86,15 @@ def import_checkpoint(pth_path: str, conf: dict, exp_dir: str) -> str:
 
     os.makedirs(exp_dir, exist_ok=True)
     ckpt_path = os.path.join(exp_dir, "best_model.ckpt")
-    serialization.save_model(ckpt_path, model_name, audionet, converted)
+    # save under the name of the class we actually built/converted — the
+    # blob's model_name (e.g. a legacy alias) may not exist in our
+    # registry, and load_model must be able to rebuild from this header
+    serialization.save_model(ckpt_path, "AVNet", audionet, converted)
 
     out_conf = dict(conf)
     out_conf["audionet"] = audionet
+    out_conf["imported_from"] = {"pth": os.path.abspath(pth_path),
+                                 "blob_model_name": model_name}
     with open(os.path.join(exp_dir, "conf.yaml"), "w") as f:
         yaml.safe_dump(out_conf, f)
     return ckpt_path

@@ -101,28 +101,47 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert int(done.step) == 3 + 3 * 2  # epochs 1..3, 2 batches each
 
 
-def test_preempt_during_validation_keeps_epoch_checkpoint(tmp_path):
+def test_preempt_during_validation_checkpoints_immediately(tmp_path):
+    """A signal landing in the validation sweep must checkpoint within ONE
+    val step (training of the epoch is complete), not after the whole
+    sweep + epoch save — a large val set could outlast the preemption
+    grace window. Resume starts the NEXT epoch."""
     exp_dir = str(tmp_path / "exp")
     system, trainer, state = _make(exp_dir)
 
     class PreemptOnVal:
         def __init__(self, loader):
             self.loader = loader
+            self.batches_served = 0
 
         def set_epoch(self, epoch):
             self.loader.set_epoch(epoch)
 
         def __iter__(self):
             os.kill(os.getpid(), signal.SIGTERM)
-            return iter(self.loader)
+            for batch in self.loader:
+                self.batches_served += 1
+                yield batch
 
     train_loader = DataLoader(FakeDataset(16), batch_size=8, shuffle=True)
-    val_loader = PreemptOnVal(DataLoader(FakeDataset(8, seed=1), batch_size=8))
+    val_loader = PreemptOnVal(DataLoader(FakeDataset(16, seed=1), batch_size=8))
     final = trainer.fit(state, train_loader, val_loader)
 
-    # epoch 0 completed training, signal hit during validation: the normal
-    # epoch checkpoint is the resume point, no preempt dir needed
+    # epoch 0 completed training (2 steps); the val sweep stopped after
+    # its first batch and the preempt checkpoint records epoch 0 complete
     assert int(final.step) == 2
+    assert val_loader.batches_served == 1
     last = json.load(open(os.path.join(exp_dir, "checkpoints", "last.json")))
-    assert last["name"] == "epoch0"
-    assert not os.path.isdir(os.path.join(exp_dir, "checkpoints", "preempt"))
+    assert last["name"] == "preempt" and last["preempted"]
+    assert last["epoch"] == 0  # completed epochs -> resume starts epoch 1
+
+    system2, trainer2, _ = _make(exp_dir)
+    fresh = system2.init_state(
+        jax.random.PRNGKey(7), jnp.zeros((1, 2000)), jnp.zeros((1, 16, 5)))
+    resumed = trainer2.resume(fresh)
+    assert trainer2.start_epoch == 1
+    got = jax.device_get(resumed.params)
+    want = jax.device_get(final.params)
+    for g, w in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(want)):
+        np.testing.assert_array_equal(g, w)
