@@ -14,6 +14,7 @@ extern "C" {
 double rtfs_pesq_score(const float* ref, const float* deg, int n, int fs);
 double rtfs_pesq_score_opts(const float* ref, const float* deg, int n,
                             int fs, int utt_align);
+int rtfs_pesq_crude_delay(const float* ref, const float* deg, int n, int fs);
 uint32_t rtfs_crc32c(const uint8_t* data, size_t len);
 }
 
@@ -55,6 +56,31 @@ static PyObject* py_pesq(PyObject* self, PyObject* args) {
   return PyFloat_FromDouble(score);
 }
 
+static PyObject* py_align_delay(PyObject* self, PyObject* args) {
+  PyObject *ref_obj, *deg_obj;
+  int fs;
+  if (!PyArg_ParseTuple(args, "OOi", &ref_obj, &deg_obj, &fs))
+    return nullptr;
+  Py_buffer ref_view, deg_view;
+  if (get_float_buffer(ref_obj, &ref_view) != 0) return nullptr;
+  if (get_float_buffer(deg_obj, &deg_view) != 0) {
+    PyBuffer_Release(&ref_view);
+    return nullptr;
+  }
+  Py_ssize_t n = ref_view.len / (Py_ssize_t)sizeof(float);
+  Py_ssize_t nd = deg_view.len / (Py_ssize_t)sizeof(float);
+  if (nd < n) n = nd;
+  int delay;
+  Py_BEGIN_ALLOW_THREADS
+  delay = rtfs_pesq_crude_delay(static_cast<const float*>(ref_view.buf),
+                                static_cast<const float*>(deg_view.buf),
+                                static_cast<int>(n), fs);
+  Py_END_ALLOW_THREADS
+  PyBuffer_Release(&ref_view);
+  PyBuffer_Release(&deg_view);
+  return PyLong_FromLong(delay);
+}
+
 static PyObject* py_crc32c(PyObject* self, PyObject* args) {
   Py_buffer view;
   if (!PyArg_ParseTuple(args, "y*", &view)) return nullptr;
@@ -67,6 +93,9 @@ static PyObject* py_crc32c(PyObject* self, PyObject* args) {
 static PyMethodDef Methods[] = {
     {"pesq", py_pesq, METH_VARARGS,
      "pesq(ref_f32, deg_f32, fs) -> MOS-like score in [-0.5, 4.5]"},
+    {"align_delay", py_align_delay, METH_VARARGS,
+     "align_delay(ref_f32, deg_f32, fs) -> crude delay estimate in samples "
+     "(add to a reference index to read its degraded counterpart)"},
     {"crc32c", py_crc32c, METH_VARARGS, "crc32c(bytes) -> int"},
     {nullptr, nullptr, 0, nullptr},
 };

@@ -69,6 +69,41 @@ def test_pesq_delay_compensation(rng):
     assert abs(aligned - delayed) < 0.3, (aligned, delayed)
 
 
+def test_crude_align_exact_delay_recovery(rng):
+    """The two-stage crude alignment (4 ms log-energy envelope correlation
+    -> sample-resolution refinement, P.862 crude_align structure) recovers
+    bulk delays exactly — including delays that are NOT a multiple of the
+    4 ms envelope frame, which only the refinement stage can resolve."""
+    x = _speech(rng)
+    n = len(x)
+    for lag in (0, 480, 123, 64):
+        deg = np.concatenate([np.zeros(lag, np.float32), x])[:n]
+        assert nat.align_delay(x, deg, 16000) == lag
+    # degraded LEADS the reference (negative delay)
+    deg = np.concatenate([x[300:], np.zeros(300, np.float32)])
+    assert nat.align_delay(x, deg, 16000) == -300
+    # with additive noise the peak may move by a sample or two, no more
+    noise = rng.standard_normal(n).astype(np.float32)
+    scale = np.linalg.norm(x) / (np.linalg.norm(noise) * 10 ** (10 / 20))
+    deg = np.concatenate(
+        [np.zeros(480, np.float32), x + scale * noise])[:n].astype(np.float32)
+    assert abs(nat.align_delay(x, deg, 16000) - 480) <= 2
+
+
+def test_crude_align_periodic_signal(rng):
+    """A strongly periodic waveform has an ambiguous raw autocorrelation
+    (peaks at every pitch period); the envelope stage disambiguates via
+    the signal's aperiodic energy contour (the reason ITU crude_align
+    correlates frame energies, not waveforms)."""
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    env = np.clip(np.sin(2 * np.pi * 1.7 * t), 0, None)  # syllabic bursts
+    x = (np.sin(2 * np.pi * 500 * t) * env).astype(np.float32)  # period 32
+    for lag in (480, 1000, 333):  # none a multiple of the 32-sample period
+        deg = np.concatenate([np.zeros(lag, np.float32), x])[:len(x)]
+        assert nat.align_delay(x, deg, sr) == lag
+
+
 def test_pesq_8k(rng):
     x = _speech(rng, n=16000, sr=8000)
     assert nat.pesq(x, x, 8000) == 4.5
