@@ -10,8 +10,8 @@
 //     from 4 ms log-energy ENVELOPE cross-correlation (P.862
 //     crude_align; robust to periodic waveforms) refined to sample
 //     resolution by a bounded raw cross-correlation, then per-utterance
-//     realignment (energy-VAD utterances, gated NCC delay search; the
-//     ITU's further splitting at interior delay jumps is not reproduced)
+//     realignment (energy-VAD utterances, gated NCC delay search, with
+//     recursive splitting at interior delay jumps per utterance_split)
 //   * 32 ms Hann frames, 50% overlap, |FFT|^2 -> Bark band powers with
 //     the published Sp power scale (6.910853e-6 @16k, 2.764344e-5 @8k)
 //   * partial frequency compensation (+1000 floor, [0.01, 100] bound)
@@ -361,9 +361,9 @@ static int estimate_delay(const std::vector<double>& r,
 // joining and 64 ms minimum section, then a bounded normalized-cross-
 // correlation search around the crude delay per utterance with a
 // confidence gate (falls back to the crude delay when correlation is
-// weak). The ITU's further splitting of utterances at interior delay
-// jumps is not reproduced; the deviation envelope is frozen as golden
-// regressions in tests/test_native.py.
+// weak), plus recursive splitting where the delay jumps inside an
+// utterance (align_utterance below). The deviation envelope vs the ITU
+// code is frozen as golden regressions in tests/test_native.py.
 
 struct Utterance {
   int start;
@@ -469,6 +469,41 @@ static bool refine_delay(const std::vector<double>& r,
   if (best < 0.3) return false;
   *out = best_lag;
   return true;
+}
+
+// align one utterance, splitting it where the delay jumps INSIDE it
+// (P.862 utterance_split: codec time warping / mid-stream delay changes
+// make one VAD utterance carry two alignments). Approximated as a
+// confidence-gated recursive binary split at the midpoint instead of the
+// ITU's exhaustive best-split-point search: if both halves refine
+// confidently to delays more than one 4 ms frame apart, each half is
+// aligned (and possibly split) on its own; otherwise the whole utterance
+// gets its single refined delay, and a weak correlation keeps the crude
+// delay the caller pre-filled.
+static void align_utterance(const std::vector<double>& r,
+                            const std::vector<double>& d, const Utterance& u,
+                            int base, int margin, int fs,
+                            std::vector<int>* dmap, int depth = 0) {
+  int refined = base;
+  const bool ok = refine_delay(r, d, u, base, margin, &refined);
+  const int len = u.end - u.start;
+  const int min_half = fs / 5;  // 200 ms: don't split below VAD scale
+  if (ok && depth < 4 && len >= 2 * min_half) {
+    const int mid = u.start + len / 2;
+    const Utterance left{u.start, mid}, right{mid, u.end};
+    int dl = refined, dr = refined;
+    const int jump = std::max(1, fs / 250);
+    if (refine_delay(r, d, left, refined, margin, &dl) &&
+        refine_delay(r, d, right, refined, margin, &dr) &&
+        std::abs(dl - dr) > jump) {
+      align_utterance(r, d, left, dl, margin, fs, dmap, depth + 1);
+      align_utterance(r, d, right, dr, margin, fs, dmap, depth + 1);
+      return;
+    }
+  }
+  if (ok)
+    for (int t = u.start; t < u.end && t < static_cast<int>(dmap->size()); ++t)
+      (*dmap)[t] = refined;
 }
 
 // ------------------------------------------------------ perceptual model
@@ -587,13 +622,8 @@ double pesq_score(const float* ref_in, const float* deg_in, int n, int fs,
   std::vector<int> dmap(r.size(), delay);
   if (utt_align) {
     const int margin = fs * 3 / 40;  // ±75 ms fine search window
-    for (const Utterance& u : detect_utterances(r, fs)) {
-      int refined;
-      if (refine_delay(r, d, u, delay, margin, &refined)) {
-        for (int t = u.start; t < u.end && t < (int)dmap.size(); ++t)
-          dmap[t] = refined;
-      }
-    }
+    for (const Utterance& u : detect_utterances(r, fs))
+      align_utterance(r, d, u, delay, margin, fs, &dmap);
   }
 
   // frame the REFERENCE timeline; each degraded frame reads at the

@@ -171,6 +171,30 @@ def test_pesq_utterance_realignment_recovers_shifted_utterance():
     assert crude < aligned - 0.8, (aligned, crude)
 
 
+def test_pesq_utterance_split_recovers_mid_utterance_delay_jump():
+    """A delay change INSIDE one continuous utterance (codec time warping:
+    the second half of the speech arrives 30 ms late) is recovered by the
+    recursive utterance split — a single per-utterance delay can only
+    align one half."""
+    fs = 16000
+    rng = np.random.default_rng(5)
+    n = int(1.6 * fs)
+    t = np.arange(n) / fs
+    env = np.sin(np.pi * np.arange(n) / n) ** 0.25  # one continuous burst
+    sig = ((np.sin(2 * np.pi * 220 * t) + 0.5 * np.sin(2 * np.pi * 440 * t)
+            + 0.3 * rng.standard_normal(n)) * env).astype(np.float32)
+    pad = np.zeros(fs // 2, np.float32)
+    ref = np.concatenate([pad, sig, pad])
+    h = len(pad) + n // 2
+    # second half arrives 480 samples (30 ms) late
+    deg = np.concatenate([ref[:h], np.zeros(480, np.float32), ref[h:]])
+    deg = deg[:len(ref)]
+    split = nat.pesq(ref, deg, fs, 1)
+    crude = nat.pesq(ref, deg, fs, 0)
+    assert split > 3.9, (split, crude)
+    assert split > crude + 0.5, (split, crude)
+
+
 def test_pesq_golden_regression_table():
     """Frozen MOS over a deterministic degradation sweep — catches silent
     scale drift from any refactor of the scorer."""
