@@ -113,6 +113,36 @@ def test_transforms():
     np.testing.assert_allclose(out_val, c)
 
 
+def test_loader_process_workers_survive_sigterm(rng, tmp_path):
+    """Preemption signals land on the whole process GROUP under SLURM/k8s.
+    Pool workers must IGNORE SIGTERM (the parent's handler owns the
+    preempt-checkpoint flow): a worker killed mid-epoch leaves a
+    never-resolving in-flight task that would hang the fit loop past the
+    preemption grace window."""
+    import signal
+    import threading
+
+    d = _make_manifest(tmp_path, rng, n_utts=4)
+    ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2,
+                    worker_type="process")
+    it = iter(dl)
+    next(it)  # forces pool spawn + first in-flight tasks
+    assert dl._pool is not None
+    workers = list(dl._pool._pool)
+    for proc in workers:
+        os.kill(proc.pid, signal.SIGTERM)
+    rest = []
+    t = threading.Thread(target=lambda: rest.extend(it), daemon=True)
+    t.start()
+    t.join(60)
+    assert not t.is_alive(), "loader hung after SIGTERM to pool workers"
+    assert len(rest) == len(dl) - 1
+    for proc in workers:  # same processes, still alive — no respawn
+        assert proc.is_alive()
+    dl.close()
+
+
 def test_loader_process_workers_match_thread(rng, tmp_path):
     """worker_type='process' (the default for AV datasets — the npz+
     transform path is GIL-bound) returns the same batches as threads, and
