@@ -6,8 +6,8 @@ auxiliary keys (train_ms_per_step_b4, train_utt_per_s_per_chip,
 inference_ms_per_utt).
 
 Primary metric: 2 s @16 kHz mixture utterances separated per second per
-chip (serving batch 128 — the measured throughput-optimal batch on v5e
-(32→154, 96→179, 128→188, 256→186 utt/s) — bf16 serving precision, 43 dB
+chip (serving batch 128 — the measured throughput-optimal batch on v5e;
+round-3 figure 307.7 utt/s / 3.25 ms/utt — bf16 serving precision, 43 dB
 output agreement with f32, full forward incl. STFT/iSTFT, lip embedding
 precomputed, matching the paper's inference-latency measurement setup).
 vs_baseline is the speedup over the reference's published per-utterance

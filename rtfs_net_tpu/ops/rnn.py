@@ -136,8 +136,14 @@ def _sru_lanes_path(mod, x, window, unroll, ndir, out_size, params):
     train_step = unroll <= 1  # the differentiated step kind
     Bk = -(-Bp // 128) * 128  # train kernel pads the folded batch to lanes
     if train_step:
-        # opt-in until benchmarked on-chip vs the scan backward
-        # (RTFS_PALLAS_SRU_TRAIN=1); inference default stays on
+        # Measured on-chip (v5e, RTFS-4 full train step, bf16+remat,
+        # scripts/bench_sru_train.py): B=4 51.7 vs scan 45.8 ms/step
+        # (0.89x — the folded batch 4·129=516 pads to 640 lanes, 24%
+        # wasted), B=16 94.1 vs 98.2 (1.04x — padding waste 5%). A ~4%
+        # win only at large per-chip batch doesn't justify flipping the
+        # default; stays opt-in (RTFS_PALLAS_SRU_TRAIN=1). Inference
+        # default stays on (no padding — B·F is lane-aligned at serving
+        # batches, and the win there was 10%).
         if os.environ.get("RTFS_PALLAS_SRU_TRAIN", "0") != "1":
             return None
         ok = sru_train_supported(L, Bk, H, x.dtype.itemsize)
