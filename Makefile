@@ -8,7 +8,8 @@ test-fast:       ## quick subset (primitives + losses)
 	python -m pytest tests/test_conv_ops.py tests/test_stft.py \
 	    tests/test_rnn.py tests/test_losses.py tests/test_normalizations.py -q
 
-native:          ## build the C++ extension (PESQ + crc32c)
+native:          ## build the C++ extension (PESQ + crc32c) ahead of time
+	## (optional — rtfs_net_tpu/_native.py auto-builds on first use)
 	cd native && python setup.py build_ext --build-lib ..
 
 bench:           ## one-line JSON benchmark on the real chip

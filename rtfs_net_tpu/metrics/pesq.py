@@ -21,10 +21,12 @@ def _resolve():
     if _impl is not None:
         return _impl
     try:
-        from rtfs_net_tpu_native import pesq as native_pesq  # built from native/
+        from rtfs_net_tpu._native import load_native
 
-        _impl = ("native", native_pesq)
-        return _impl
+        nat = load_native()  # builds from native/ on demand if needed
+        if nat is not None:
+            _impl = ("native", nat.pesq)
+            return _impl
     except Exception:
         pass
     try:

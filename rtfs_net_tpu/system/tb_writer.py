@@ -29,10 +29,25 @@ def _make_crc_table():
 
 _CRC_TABLE = _make_crc_table()
 
-try:  # native C++ fast path (native/pesq_core.cpp)
-    from rtfs_net_tpu_native import crc32c as _native_crc32c
-except Exception:
-    _native_crc32c = None
+_native_crc32c = None
+_native_resolved = False
+
+
+def _resolve_native_crc():
+    """Native C++ fast path (native/module.cpp), resolved lazily so module
+    import stays cheap; rtfs_net_tpu._native builds the extension on demand
+    (memoized, including failures)."""
+    global _native_crc32c, _native_resolved
+    if not _native_resolved:
+        _native_resolved = True
+        try:
+            from rtfs_net_tpu._native import load_native
+
+            nat = load_native()
+            _native_crc32c = getattr(nat, "crc32c", None) if nat else None
+        except Exception:
+            _native_crc32c = None
+    return _native_crc32c
 
 
 def crc32c_py(data: bytes) -> int:
@@ -43,8 +58,9 @@ def crc32c_py(data: bytes) -> int:
 
 
 def crc32c(data: bytes) -> int:
-    if _native_crc32c is not None:
-        return _native_crc32c(data)
+    fn = _resolve_native_crc()
+    if fn is not None:
+        return fn(data)
     return crc32c_py(data)
 
 

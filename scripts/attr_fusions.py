@@ -17,7 +17,9 @@ def main():
     ap.add_argument("--out", default="/tmp/serving_hlo.txt")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--conf",
-                    default="rtfs_net_tpu/configs/lrs2_RTFSNet_4_layer.yaml")
+                    default=os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)), "..",
+                        "rtfs_net_tpu", "configs", "lrs2_RTFSNet_4_layer.yaml"))
     args = ap.parse_args()
 
     from rtfs_net_tpu.utils.cache import enable_compilation_cache

@@ -61,17 +61,21 @@ def main():
         # the env toggle is read at trace time — force a fresh trace
         step = jax.jit(system.train_step)
         tmouth = mouth[:TB]
-        box = [state]
 
+        # NOTE: the TrainState is intentionally FROZEN across timed
+        # iterations (same convention as bench.py / bench_zoo.py): once
+        # `timed` jits `run`, only the mixture varies per call, so both
+        # backends measure the identical step from the identical state —
+        # optimizer state does not advance and is not meant to.
         def run(m):
-            new_state, metrics = step(box[0], (m, m[:, None, :], tmouth), tkey)
-            box[0] = new_state
+            _, metrics = step(state, (m, m[:, None, :], tmouth), tkey)
             return metrics["loss"]
 
         loss0 = float(run(mix_pool[0][:TB]))  # compile + numeric probe
         stats = timed(
             run,
-            make_args=lambda i: (mix_pool[i % 4][:TB] + float(i) * 1e-6,),
+            make_args=lambda i: (mix_pool[i % len(mix_pool)][:TB]
+                                 + float(i) * 1e-6,),
             iters=args.iters,
         )
         return stats["min_ms"], loss0

@@ -2,8 +2,12 @@
 import numpy as np
 import pytest
 
-nat = pytest.importorskip("rtfs_net_tpu_native",
-                          reason="native ext not built (native/setup.py)")
+from rtfs_net_tpu._native import load_native
+
+nat = load_native()  # builds on demand with the baked-in toolchain
+if nat is None:
+    pytest.skip("native ext unavailable and no toolchain to build it",
+                allow_module_level=True)
 
 
 def _speech(rng, n=32000, sr=16000):
