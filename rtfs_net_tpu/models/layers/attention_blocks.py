@@ -151,7 +151,11 @@ class MultiHeadSelfAttention2D(nn.Module):
                    name="qkv_conv")(x)  # (B, H*(2E+Cv), T, F)
         q, k, v = jnp.split(qkv, [H * E, 2 * H * E], axis=1)
         # heads folded into batch (row order b*H+h): plain reshapes, and
-        # all norm reduces stay the proven 4-D LN4D pattern (dims (1,3))
+        # all norm reduces stay the proven 4-D LN4D pattern (dims (1,3)).
+        # (A 5-D no-fold variant — heads kept as a tensor dim, reduces over
+        # (2,4) — measured WORSE on-chip: 305.1 vs 307.8 utt/s serve and
+        # 50.9 vs 44.6 ms/step train B=4; XLA schedules the folded form
+        # better. Round-4 measurement, kept for the record.)
         q = q.reshape(B * H, E, T, F)
         k = k.reshape(B * H, E, T, F)
         v = v.reshape(B * H, Cv, T, F)
@@ -191,14 +195,16 @@ class MultiHeadSelfAttention2D(nn.Module):
         k = act_norm(k, "k", E)
         v = act_norm(v, "v", Cv)
 
-        # attention over T with (E*F)-dim keys, heads in batch
-        qf = q.transpose(0, 2, 1, 3).reshape(B * H, T, E * F)
-        kf = k.transpose(0, 2, 1, 3).reshape(B * H, T, E * F)
-        vf = v.transpose(0, 2, 1, 3).reshape(B * H, T, Cv * F)
-        logits = jnp.einsum("btd,bsd->bts", qf, kf) / math.sqrt(E * F)
+        # attention over T with (E*F)-dim keys, heads in batch. Contract
+        # (E, F) / expand (Cv, F) directly on the (B·H, chan, T, F) layout:
+        # one dot_general with two contracting dims instead of
+        # transpose->reshape->matmul (the explicit per-head layout copies).
+        # Identical math: the old qf[b,t,e*F+f] flattening summed over the
+        # same (e, f) pairs these einsums contract. Measured (B=128 bf16
+        # serving / train B=4): 302.9->307.8 utt/s, 49.1->44.6 ms/step.
+        logits = jnp.einsum("betf,besf->bts", q, k) / math.sqrt(E * F)
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bts,bsd->btd", attn, vf)
-        out = out.reshape(B * H, T, Cv, F).transpose(0, 2, 1, 3)
+        out = jnp.einsum("bts,bcsf->bctf", attn, v)
         out = out.reshape(B, C, T, F)
 
         out = ConvActNorm(

@@ -56,6 +56,7 @@ def capture(trace_dir: str, batch: int, conf_path: str, train: bool = False):
         key = jax.random.PRNGKey(1)
         state, _ = step(state, (mix, mix[:, None, :], mouth), key)  # compile
         jax.block_until_ready(state.params)
+        _dump_hlo(step, (state, (mix, mix[:, None, :], mouth), key), trace_dir)
         with jax.profiler.trace(trace_dir):
             for i in range(3):
                 state, metrics = step(
@@ -66,11 +67,24 @@ def capture(trace_dir: str, batch: int, conf_path: str, train: bool = False):
     smodel = for_inference(model)
     fwd = jax.jit(lambda v, m, mo: smodel.apply(v, m.astype(DT), mo.astype(DT)))
     jax.block_until_ready(fwd(variables, mix, mouth))  # compile outside trace
+    _dump_hlo(fwd, (variables, mix, mouth), trace_dir)
 
     with jax.profiler.trace(trace_dir):
         for i in range(3):
             y = fwd(variables, mix + np.float32(i) * 1e-6, mouth)
         jax.block_until_ready(y)
+
+
+def _dump_hlo(jitted, args, trace_dir):
+    """Write the optimized HLO text of the exact executable being profiled
+    (jit cache hit — no recompile) so report() can join trace op names to
+    op_name metadata and aggregate device time per model component."""
+    try:
+        txt = jitted.lower(*args).compile().as_text()
+        with open(os.path.join(trace_dir, "hlo.txt"), "w") as f:
+            f.write(txt)
+    except Exception as e:
+        print(f"(hlo dump skipped: {e})")
 
 
 def report(trace_dir: str, top: int):
@@ -95,7 +109,7 @@ def report(trace_dir: str, top: int):
     for r in rows:
         recs.append({
             "cat": val(r, "HLO op category") if "HLO op category" in idx else "",
-            "name": (val(r, "HLO op name") if "HLO op name" in idx else "")[:60],
+            "name": (val(r, "HLO op name") if "HLO op name" in idx else ""),
             "self_us": float(val(r, "Total self time (us)")) if "Total self time (us)" in idx else 0.0,
             "occ": int(val(r, "#Occurrences")) if "#Occurrences" in idx else 0,
         })
@@ -104,13 +118,52 @@ def report(trace_dir: str, top: int):
     print(f"\ntotal device self time: {tot/1e3:.2f} ms (3 iters) — per-iter {tot/3e3:.2f} ms")
     print(f"{'us(self)':>10} {'%':>5} {'occ':>5}  {'category':<22} name")
     for x in recs[:top]:
-        print(f"{x['self_us']:10.0f} {100*x['self_us']/tot:5.1f} {x['occ']:5d}  {x['cat']:<22} {x['name']}")
+        print(f"{x['self_us']:10.0f} {100*x['self_us']/tot:5.1f} {x['occ']:5d}  {x['cat']:<22} {x['name'][:60]}")
 
     bycat = {}
     for x in recs:
         bycat[x["cat"]] = bycat.get(x["cat"], 0.0) + x["self_us"]
     print("\nby category:")
     for c, us in sorted(bycat.items(), key=lambda kv: -kv[1]):
+        print(f"{us:10.0f} {100*us/tot:5.1f}  {c}")
+
+    _report_by_component(trace_dir, recs, tot)
+
+
+def _report_by_component(trace_dir, recs, tot, depth=4, top=30):
+    """Join trace op names against the profiled executable's own HLO dump
+    (hlo.txt written by capture()) and aggregate self time by the op_name
+    metadata's model-component path."""
+    import re
+
+    path = os.path.join(trace_dir, "hlo.txt")
+    if not os.path.exists(path):
+        return
+    name_to_comp = {}
+    pat = re.compile(r"%([\w.\-]+) = .*?op_name=\"([^\"]+)\"")
+    with open(path) as f:
+        for line in f:
+            m = pat.search(line)
+            if m:
+                name_to_comp[m.group(1)] = m.group(2)
+
+    def component(op_name):
+        # "jit(fn)/AVNet/refinement_module/checkpoint/blocks/globalatt2/..."
+        parts = [p for p in op_name.split("/")
+                 if not (p.startswith("jit(") or p.startswith("while") or
+                         p in ("body", "checkpoint", "remat", "blocks"))]
+        return "/".join(parts[:depth]) or op_name
+
+    bycomp, misses = {}, 0.0
+    for x in recs:
+        op = name_to_comp.get(x["name"].strip())
+        if op is None:
+            misses += x["self_us"]
+            continue
+        c = component(op)
+        bycomp[c] = bycomp.get(c, 0.0) + x["self_us"]
+    print(f"\nby component (depth {depth}; {100*misses/max(tot,1):.1f}% unattributed):")
+    for c, us in sorted(bycomp.items(), key=lambda kv: -kv[1])[:top]:
         print(f"{us:10.0f} {100*us/tot:5.1f}  {c}")
 
 
