@@ -40,35 +40,69 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(u_ref, skip_ref, g_ref, out_ref, *,
-            H: int, O: int, k: int, ndir: int, skip_from_u: bool):
+def _kernel(u_ref, skip_ref, g_ref, out_ref, ub1_ref, ub2_ref, *,
+            H: int, O: int, k: int, ndir: int, skip_from_u: bool,
+            hoist: bool, unroll: bool):
+    """Whole-L kernel. Round-4 restructuring (the per-grid-step cost was
+    ~2.7x the DMA roofline — tiny (H, B_tile) VPU ops dominated):
+
+    * both directions advance in the SAME loop trip (forward at t, backward
+      at L-1-t, independent carries) — halves loop-iteration overhead;
+    * ``hoist``: the gate streams' convert+bias-add run once as whole-block
+      (L, H, B) ops into VMEM scratch instead of 2 tiny ops per step
+      (Mosaic can't dynamic-index hoisted *values* in a fori_loop, hence
+      refs; f32 association changes from (u1 + v*c) + b to (u1 + b) + v*c
+      — within test tolerance);
+    * ``unroll``: L is static, so small L emits straight-line code with
+      static slices instead of a fori_loop.
+    """
     L = u_ref.shape[0]
+    f32 = jnp.float32
+    dirs = []
     for d in range(ndir):
         off = d * 4 * H
+        s = d * H
         vf = g_ref[off:off + H]
         vr = g_ref[off + H:off + 2 * H]
         bf = g_ref[off + 2 * H:off + 3 * H]
         br = g_ref[off + 3 * H:off + 4 * H]
-        reverse = d == 1
+        if hoist:
+            ub1_ref[d] = u_ref[:, O + s:O + s + H, :].astype(f32) + bf[None]
+            ub2_ref[d] = u_ref[:, 2 * O + s:2 * O + s + H, :].astype(f32) + br[None]
+        dirs.append((s, vf, vr, bf, br))
 
-        def step(i, c, d=d, vf=vf, vr=vr, bf=bf, br=br, reverse=reverse):
-            t = (L - 1 - i) if reverse else i
-            s = d * H
-            u0 = u_ref[t, s:s + H, :].astype(jnp.float32)
-            u1 = u_ref[t, O + s:O + s + H, :].astype(jnp.float32)
-            u2 = u_ref[t, 2 * O + s:2 * O + s + H, :].astype(jnp.float32)
-            if skip_from_u:
-                sk = u_ref[t, 3 * O + s:3 * O + s + H, :].astype(jnp.float32)
-            else:
-                sk = skip_ref[t, s:s + H, :].astype(jnp.float32)
+    def step_dir(i, d, c):
+        s, vf, vr, bf, br = dirs[d]
+        t = (L - 1 - i) if d == 1 else i
+        u0 = u_ref[t, s:s + H, :].astype(f32)
+        if skip_from_u:
+            sk = u_ref[t, 3 * O + s:3 * O + s + H, :].astype(f32)
+        else:
+            sk = skip_ref[t, s:s + H, :].astype(f32)
+        if hoist:
+            f = jax.nn.sigmoid(ub1_ref[d, t] + vf * c)
+            r = jax.nn.sigmoid(ub2_ref[d, t] + vr * c)  # r-gate sees c_{t-1}
+        else:
+            u1 = u_ref[t, O + s:O + s + H, :].astype(f32)
+            u2 = u_ref[t, 2 * O + s:2 * O + s + H, :].astype(f32)
             f = jax.nn.sigmoid(u1 + vf * c + bf)
-            r = jax.nn.sigmoid(u2 + vr * c + br)  # r-gate sees c_{t-1}
-            c = f * c + (1.0 - f) * u0
-            out_ref[t, s:s + H, :] = (r * c + (1.0 - r) * sk).astype(out_ref.dtype)
-            return c
+            r = jax.nn.sigmoid(u2 + vr * c + br)
+        c = f * c + (1.0 - f) * u0
+        out_ref[t, s:s + H, :] = (r * c + (1.0 - r) * sk).astype(out_ref.dtype)
+        return c
 
-        c0 = jnp.zeros((H, u_ref.shape[2]), jnp.float32)
-        lax.fori_loop(0, L, step, c0)
+    B_t = u_ref.shape[2]
+    if unroll:
+        cs = [jnp.zeros((H, B_t), f32) for _ in range(ndir)]
+        for i in range(L):
+            for d in range(ndir):
+                cs[d] = step_dir(i, d, cs[d])
+    else:
+        def step(i, cs):
+            return tuple(step_dir(i, d, cs[d]) for d in range(ndir))
+
+        lax.fori_loop(0, L, step,
+                      tuple(jnp.zeros((H, B_t), f32) for _ in range(ndir)))
 
 
 def _pick_tile(L: int, k: int, O: int, B: int, itemsize: int) -> int:
@@ -86,12 +120,14 @@ def _pick_tile(L: int, k: int, O: int, B: int, itemsize: int) -> int:
     return 0
 
 
-def _pick_chunk(k: int, O: int, B: int, itemsize: int):
+def _pick_chunk(k: int, O: int, B: int, itemsize: int, H: int = 0):
     """(L_chunk, B_tile) for the carry-chunked per-direction path: one
-    (Lc, k·O + H + H) block set per call, plus the (H, tile) carries."""
+    (Lc, k·O + H + H) block set per call, plus the (H, tile) carries and
+    the two hoisted (Lc, H, tile) f32 gate streams."""
     n_chan = k * O + O + (O if k == 3 else 0)  # u + out (+ skip iff k==3)
+    h = H or O
     for tile in ((256, 128) if B >= 128 else (B,)):
-        per_row = n_chan * tile * itemsize
+        per_row = n_chan * tile * itemsize + 8 * h * tile
         lc = int(10e6 / (2 * per_row)) // 8 * 8
         if lc >= 32:
             return lc, tile
@@ -105,31 +141,33 @@ def sru_v3_supported(L: int, B: int, H: int, k: int, ndir: int,
     O = H * ndir
     if _pick_tile(L, k, O, B, itemsize) > 0:
         return True
-    return _pick_chunk(k, O, B, itemsize)[0] > 0
+    return _pick_chunk(k, O, B, itemsize, H)[0] > 0
 
 
-def _kernel_chunk(u_ref, skip_ref, g_ref, cin_ref, out_ref, cout_ref, *,
+def _kernel_chunk(u_ref, skip_ref, g_ref, cin_ref, out_ref, cout_ref,
+                  ub1_ref, ub2_ref, *,
                   H: int, O: int, d: int, n_valid: int, reverse: bool,
                   skip_from_u: bool):
     """One direction over one L-chunk, carry in/out — the VMEM-tight path
-    (long L: RTFS-6/12 time-axis recurrences)."""
+    (long L: RTFS-6/12 time-axis recurrences). Gate streams' convert+bias
+    hoisted to whole-block ops into VMEM scratch (see _kernel;
+    _pick_chunk reserves the VMEM)."""
+    f32 = jnp.float32
     vf = g_ref[0:H]
     vr = g_ref[H:2 * H]
-    bf = g_ref[2 * H:3 * H]
-    br = g_ref[3 * H:4 * H]
     s = d * H
+    ub1_ref[...] = u_ref[:, O + s:O + s + H, :].astype(f32) + g_ref[2 * H:3 * H][None]
+    ub2_ref[...] = u_ref[:, 2 * O + s:2 * O + s + H, :].astype(f32) + g_ref[3 * H:4 * H][None]
 
     def step(i, c):
         t = (n_valid - 1 - i) if reverse else i
-        u0 = u_ref[t, s:s + H, :].astype(jnp.float32)
-        u1 = u_ref[t, O + s:O + s + H, :].astype(jnp.float32)
-        u2 = u_ref[t, 2 * O + s:2 * O + s + H, :].astype(jnp.float32)
+        u0 = u_ref[t, s:s + H, :].astype(f32)
         if skip_from_u:
-            sk = u_ref[t, 3 * O + s:3 * O + s + H, :].astype(jnp.float32)
+            sk = u_ref[t, 3 * O + s:3 * O + s + H, :].astype(f32)
         else:
-            sk = skip_ref[t, s:s + H, :].astype(jnp.float32)
-        f = jax.nn.sigmoid(u1 + vf * c + bf)
-        r = jax.nn.sigmoid(u2 + vr * c + br)
+            sk = skip_ref[t, s:s + H, :].astype(f32)
+        f = jax.nn.sigmoid(ub1_ref[t] + vf * c)
+        r = jax.nn.sigmoid(ub2_ref[t] + vr * c)  # r-gate sees c_{t-1}
         c = f * c + (1.0 - f) * u0
         out_ref[t, :, :] = (r * c + (1.0 - r) * sk).astype(out_ref.dtype)
         return c
@@ -160,6 +198,8 @@ def _chunked_direction(u, skip, gates_d, *, H, O, k, d, L, B, Lc, B_tile,
             functools.partial(_kernel_chunk, H=H, O=O, d=d,
                               n_valid=n_valid, reverse=reverse,
                               skip_from_u=skip_from_u),
+            scratch_shapes=[pltpu.VMEM((Lc, H, B_tile), jnp.float32)
+                            for _ in range(2)],
             grid=(B // B_tile,),
             in_specs=[
                 pl.BlockSpec((Lc, k * O, B_tile),
@@ -222,7 +262,7 @@ def sru_stack_layer(u, skip, v, b, *, H: int, k: int, ndir: int,
     B_tile = _pick_tile(L, k, O, B, u.dtype.itemsize)
     if B_tile == 0:
         # long-L path: carry-chunked per-direction calls
-        Lc, B_tile = _pick_chunk(k, O, B, u.dtype.itemsize)
+        Lc, B_tile = _pick_chunk(k, O, B, u.dtype.itemsize, H)
         B_pad = -(-B // B_tile) * B_tile
         if B_pad != B:
             u = jnp.pad(u, ((0, 0), (0, 0), (0, B_pad - B)))
@@ -243,9 +283,22 @@ def sru_stack_layer(u, skip, v, b, *, H: int, k: int, ndir: int,
         if not skip_from_u:
             skip = jnp.pad(skip, ((0, 0), (0, 0), (0, B_pad - B)))
 
+    # hoisted (ndir, L, H, B_tile) f32 gate streams in VMEM scratch:
+    # 8·L·O·tile bytes; enable only when they fit alongside the
+    # double-buffered blocks
+    n_chan = k * O + O + (O if k == 3 else 0)
+    blocks = n_chan * L * B_tile * u.dtype.itemsize * 2
+    hoist = blocks + 8 * L * O * B_tile < 15e6
+    scratch = [
+        pltpu.VMEM((ndir, L, H, B_tile) if hoist else (1, 1, 1, 1),
+                   jnp.float32)
+        for _ in range(2)
+    ]
     out = pl.pallas_call(
         functools.partial(_kernel, H=H, O=O, k=k, ndir=ndir,
-                          skip_from_u=skip_from_u),
+                          skip_from_u=skip_from_u, hoist=hoist,
+                          unroll=L <= 160),
+        scratch_shapes=scratch,
         grid=(B_pad // B_tile,),
         in_specs=[
             pl.BlockSpec((L, KO, B_tile), lambda i: (0, 0, i),

@@ -87,7 +87,7 @@ def _dump_hlo(jitted, args, trace_dir):
         print(f"(hlo dump skipped: {e})")
 
 
-def report(trace_dir: str, top: int):
+def report(trace_dir: str, top: int, depth: int = 4):
     xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
     assert xs, f"no xplane under {trace_dir}"
     xs.sort(key=os.path.getmtime)
@@ -127,7 +127,7 @@ def report(trace_dir: str, top: int):
     for c, us in sorted(bycat.items(), key=lambda kv: -kv[1]):
         print(f"{us:10.0f} {100*us/tot:5.1f}  {c}")
 
-    _report_by_component(trace_dir, recs, tot)
+    _report_by_component(trace_dir, recs, tot, depth=depth)
 
 
 def _report_by_component(trace_dir, recs, tot, depth=4, top=30):
@@ -176,11 +176,13 @@ def main(argv=None):
     p.add_argument("--report-only", action="store_true")
     p.add_argument("--train", action="store_true",
                    help="profile the jitted train step instead of serving")
+    p.add_argument("--depth", type=int, default=4,
+                   help="component-path depth for the per-component table")
     args = p.parse_args(argv)
     if not args.report_only:
         os.makedirs(args.trace_dir, exist_ok=True)
         capture(args.trace_dir, args.batch, args.conf, train=args.train)
-    report(args.trace_dir, args.top)
+    report(args.trace_dir, args.top, depth=args.depth)
 
 
 if __name__ == "__main__":
