@@ -144,15 +144,26 @@ def sru_v3_supported(L: int, B: int, H: int, k: int, ndir: int,
     return _pick_chunk(k, O, B, itemsize, H)[0] > 0
 
 
-def _kernel_chunk(u_ref, skip_ref, g_ref, cin_ref, out_ref, cout_ref,
-                  ub1_ref, ub2_ref, *,
-                  H: int, O: int, d: int, n_valid: int, reverse: bool,
-                  skip_from_u: bool):
-    """One direction over one L-chunk, carry in/out — the VMEM-tight path
-    (long L: RTFS-6/12 time-axis recurrences). Gate streams' convert+bias
-    hoisted to whole-block ops into VMEM scratch (see _kernel;
-    _pick_chunk reserves the VMEM)."""
+def _kernel_chunk(u_ref, skip_ref, g_ref, out_ref, c_ref, ub1_ref, ub2_ref,
+                  *, H: int, O: int, d: int, L: int, Lc: int, n_chunks: int,
+                  reverse: bool, skip_from_u: bool):
+    """One direction, chunk index as the second GRID dim — the VMEM-tight
+    path (long L: RTFS-6/12 time-axis recurrences). The carry lives in
+    VMEM scratch that persists across grid steps (re-zeroed when each
+    batch tile starts), so the whole direction is ONE pallas_call and
+    Mosaic's revolving block buffers overlap the next chunk's DMA with the
+    current chunk's cell loop — the round-3 version issued one call per
+    chunk (serial DMA, 6x the calls) and threaded the carry through HBM.
+    Gate streams' convert+bias hoisted per chunk (see _kernel)."""
     f32 = jnp.float32
+    ci = pl.program_id(1)
+    ci_eff = (n_chunks - 1 - ci) if reverse else ci
+    n_valid = jnp.minimum(Lc, L - ci_eff * Lc)
+
+    @pl.when(ci == 0)
+    def _init():
+        c_ref[...] = jnp.zeros(c_ref.shape, c_ref.dtype)
+
     vf = g_ref[0:H]
     vr = g_ref[H:2 * H]
     s = d * H
@@ -172,63 +183,50 @@ def _kernel_chunk(u_ref, skip_ref, g_ref, cin_ref, out_ref, cout_ref,
         out_ref[t, :, :] = (r * c + (1.0 - r) * sk).astype(out_ref.dtype)
         return c
 
-    cout_ref[...] = lax.fori_loop(0, n_valid, step, cin_ref[...])
+    c_ref[...] = lax.fori_loop(0, n_valid, step, c_ref[...])
 
 
 def _chunked_direction(u, skip, gates_d, *, H, O, k, d, L, B, Lc, B_tile,
                        skip_from_u, interpret):
-    """Run one direction as ceil(L/Lc) carry-chained pallas calls; the
-    chunk offset lives in the block index maps, so the big (L, k·O, B)
-    array is never sliced or copied."""
+    """Run one direction as ONE pallas_call with grid (B tiles, chunks);
+    the chunk offset lives in the block index maps, so the big (L, k·O, B)
+    array is never sliced or copied, and the carry never leaves VMEM."""
     n_chunks = -(-L // Lc)
     reverse = d == 1
-    order = range(n_chunks - 1, -1, -1) if reverse else range(n_chunks)
-    c = jnp.zeros((H, B), jnp.float32)
-    outs = [None] * n_chunks
+
+    def chunk_ix(b, ci):
+        return ((n_chunks - 1 - ci) if reverse else ci, 0, b)
+
     skip_spec = (
         # k==4: the kernel never reads skip — a (1,1,1) placeholder block
         # avoids DMA-ing an unread (Lc, O, B_tile) stream per chunk
-        pl.BlockSpec((1, 1, 1), lambda i: (0, 0, 0),
+        pl.BlockSpec((1, 1, 1), lambda b, ci: (0, 0, 0),
                      memory_space=pltpu.VMEM)
         if skip_from_u else
-        None)
-    for ci in order:
-        n_valid = min(Lc, L - ci * Lc)
-        call = pl.pallas_call(
-            functools.partial(_kernel_chunk, H=H, O=O, d=d,
-                              n_valid=n_valid, reverse=reverse,
-                              skip_from_u=skip_from_u),
-            scratch_shapes=[pltpu.VMEM((Lc, H, B_tile), jnp.float32)
-                            for _ in range(2)],
-            grid=(B // B_tile,),
-            in_specs=[
-                pl.BlockSpec((Lc, k * O, B_tile),
-                             lambda i, ci=ci: (ci, 0, i),
-                             memory_space=pltpu.VMEM),
-                skip_spec or
-                pl.BlockSpec((Lc, O, B_tile),
-                             lambda i, ci=ci: (ci, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((4 * H, 1), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, B_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=[
-                pl.BlockSpec((Lc, H, B_tile), lambda i: (0, 0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((H, B_tile), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_shape=[
-                jax.ShapeDtypeStruct((Lc, H, B), u.dtype),
-                jax.ShapeDtypeStruct((H, B), jnp.float32),
-            ],
-            interpret=interpret,
-        )
-        h_chunk, c = call(u, skip, gates_d, c)
-        outs[ci] = h_chunk[:n_valid]
-    return jnp.concatenate(outs, axis=0) if n_chunks > 1 else outs[0]
+        pl.BlockSpec((Lc, O, B_tile), chunk_ix, memory_space=pltpu.VMEM))
+    call = pl.pallas_call(
+        functools.partial(_kernel_chunk, H=H, O=O, d=d, L=L, Lc=Lc,
+                          n_chunks=n_chunks, reverse=reverse,
+                          skip_from_u=skip_from_u),
+        scratch_shapes=[
+            pltpu.VMEM((H, B_tile), jnp.float32),  # carry, lives across ci
+            pltpu.VMEM((Lc, H, B_tile), jnp.float32),
+            pltpu.VMEM((Lc, H, B_tile), jnp.float32),
+        ],
+        grid=(B // B_tile, n_chunks),
+        in_specs=[
+            pl.BlockSpec((Lc, k * O, B_tile), chunk_ix,
+                         memory_space=pltpu.VMEM),
+            skip_spec,
+            pl.BlockSpec((4 * H, 1), lambda b, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Lc, H, B_tile), chunk_ix,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, H, B), u.dtype),
+        interpret=interpret,
+    )
+    return call(u, skip, gates_d)
 
 
 @functools.partial(jax.jit,
