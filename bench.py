@@ -39,7 +39,10 @@ def main():
     with open(os.path.join(here, "rtfs_net_tpu", "configs",
                            "lrs2_RTFSNet_4_layer.yaml")) as f:
         conf = yaml.safe_load(f)
-    model = AVNet(**conf["audionet"])
+    # RTFS_TF_ORDER=tf|ft|auto A/Bs the internal TF-domain layout
+    # (tests/test_tf_order.py proves the orders are numerically identical)
+    model = AVNet(tf_order=os.environ.get("RTFS_TF_ORDER", "auto"),
+                  **conf["audionet"])
 
     B, L, TV = 128, 32000, 50
     rng = np.random.default_rng(0)

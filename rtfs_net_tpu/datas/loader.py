@@ -71,6 +71,16 @@ def _worker_init(ds_bytes: bytes, collate_bytes: bytes) -> None:
             signal.signal(sig, signal.SIG_IGN)
         except (ValueError, OSError):  # non-main thread / exotic platform
             pass
+    # The parent blocked these signals around the spawn (mask is inherited)
+    # so a group-delivered SIGTERM can't kill the worker during interpreter
+    # bootstrap, before the SIG_IGN above exists. Unblock now that the
+    # disposition is IGN — any signal queued while blocked is discarded.
+    try:
+        signal.pthread_sigmask(
+            signal.SIG_UNBLOCK,
+            {signal.SIGINT, signal.SIGTERM, signal.SIGUSR1})
+    except (AttributeError, ValueError, OSError):
+        pass
     global _WORKER_DS, _WORKER_COLLATE
     _WORKER_DS = pickle.loads(ds_bytes)
     _WORKER_COLLATE = pickle.loads(collate_bytes)
@@ -152,13 +162,29 @@ class DataLoader:
 
     def _get_pool(self) -> mp.pool.Pool:
         if self._pool is None:
+            import signal
+
             ctx = mp.get_context("spawn")
-            self._pool = ctx.Pool(
-                self.num_workers,
-                initializer=_worker_init,
-                initargs=(pickle.dumps(self.dataset),
-                          pickle.dumps(self.collate_fn)),
-            )
+            # Block the preemption signals while spawning: children inherit
+            # the mask, so a group-delivered SIGTERM landing during worker
+            # bootstrap (before _worker_init installs SIG_IGN) stays pending
+            # instead of killing the worker — whose lost in-flight task
+            # would hang the fit loop past the preemption grace window.
+            sigs = {signal.SIGINT, signal.SIGTERM, signal.SIGUSR1}
+            try:
+                old_mask = signal.pthread_sigmask(signal.SIG_BLOCK, sigs)
+            except (AttributeError, ValueError, OSError):
+                old_mask = None
+            try:
+                self._pool = ctx.Pool(
+                    self.num_workers,
+                    initializer=_worker_init,
+                    initargs=(pickle.dumps(self.dataset),
+                              pickle.dumps(self.collate_fn)),
+                )
+            finally:
+                if old_mask is not None:
+                    signal.pthread_sigmask(signal.SIG_SETMASK, old_mask)
         return self._pool
 
     def __iter__(self) -> Iterator:

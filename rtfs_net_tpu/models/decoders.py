@@ -50,6 +50,9 @@ class STFTDecoder(nn.Module):
     kernel_size: int = -1
     stride: int = 1
     bias: bool = False
+    # Consume (B, C, F, T) input (internal "ft" layout; see AVNet.tf_order):
+    # the iSTFT wants bins-major anyway, so this REMOVES two transposes.
+    spatial_swapped: bool = False
 
     @nn.compact
     def __call__(self, x, input_shape, train: bool = False):
@@ -59,12 +62,16 @@ class STFTDecoder(nn.Module):
             y = ConvTranspose(
                 in_chan=self.in_chan, out_chan=2, kernel_size=self.kernel_size,
                 ndim=2, stride=self.stride, padding=(self.kernel_size - 1) // 2,
-                use_bias=self.bias, xavier_init=True, name="decoder",
+                use_bias=self.bias, xavier_init=True,
+                spatial_swapped=self.spatial_swapped, name="decoder",
             )(x)
         else:
             y = x
-        re = jnp.swapaxes(y[:, 0], 1, 2)  # (B*n_src, F, T)
-        im = jnp.swapaxes(y[:, 1], 1, 2)
+        if self.spatial_swapped:
+            re, im = y[:, 0], y[:, 1]  # already (B*n_src, F, T)
+        else:
+            re = jnp.swapaxes(y[:, 0], 1, 2)  # (B*n_src, F, T)
+            im = jnp.swapaxes(y[:, 1], 1, 2)
         wav = stft_ops.istft(re, im, self.win, self.hop_length, length)
         return wav.reshape(batch_size, self.n_src, length).astype(x.dtype)
 

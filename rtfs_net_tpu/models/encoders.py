@@ -95,6 +95,11 @@ class STFTEncoder(nn.Module):
     act_type: Any = "ReLU"
     norm_type: Any = "gLN"
     bias: bool = False
+    # Emit (B, C, F, T) instead of (B, C, T, F) — the internal "ft" layout
+    # (see AVNet.tf_order). The DFT-basis STFT is already bins-major, so
+    # this REMOVES the T<->F transpose; the conv kernel is transposed at
+    # apply time (params stay canonical).
+    spatial_swapped: bool = False
 
     def get_out_chan(self) -> int:
         return self.out_chan
@@ -104,12 +109,14 @@ class STFTEncoder(nn.Module):
         x = unsqueeze_to_2d(x)
         re, im = stft_ops.stft(x, self.win, self.hop_length)  # (B, F, T) each
         spec = jnp.stack([re, im], axis=1)  # (B, 2, F, T)
-        spec = jnp.swapaxes(spec, 2, 3)  # (B, 2, T, F)
+        if not self.spatial_swapped:
+            spec = jnp.swapaxes(spec, 2, 3)  # (B, 2, T, F)
         spec = spec.astype(x.dtype)
         return ConvNormAct(
             in_chan=2, out_chan=self.out_chan, kernel_size=self.kernel_size,
             stride=self.stride, act_type=self.act_type, norm_type=self.norm_type,
-            xavier_init=True, bias=self.bias, is2d=True, name="conv",
+            xavier_init=True, bias=self.bias, is2d=True,
+            spatial_swapped=self.spatial_swapped, name="conv",
         )(spec, train)
 
 

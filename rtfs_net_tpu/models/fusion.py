@@ -182,19 +182,20 @@ class ATTNFusion(nn.Module):
     kernel_size: int
     video_fusion: bool = True
     is2d: bool = True
+    spatial_swapped: bool = False  # audio (T,F) axes transposed
 
     @nn.compact
     def __call__(self, audio, video, train: bool = False):
         if self.video_fusion:
             video_fused = ATTNFusionCell(
                 self.vin_chan, self.ain_chan, self.kernel_size, self.is2d,
-                name="video_attn",
+                spatial_swapped=self.spatial_swapped, name="video_attn",
             )(video, audio, train)
         else:
             video_fused = video
         audio_fused = ATTNFusionCell(
             self.ain_chan, self.vin_chan, self.kernel_size, self.is2d,
-            name="audio_attn",
+            spatial_swapped=self.spatial_swapped, name="audio_attn",
         )(audio, video, train)
         return audio_fused, video_fused
 
@@ -220,16 +221,25 @@ class MultiModalFusion(nn.Module):
     fusion_type: str = "ConcatFusion"
     fusion_shared: bool = False
     is2d: bool = False
+    # audio (T,F) axes transposed (internal "ft" layout). Only ATTNFusion
+    # supports it — AVNet's tf_order eligibility guarantees that.
+    spatial_swapped: bool = False
 
     def setup(self):
         if self.fusion_repeats <= 0:
             self.fusion_module = None
             return
+        if self.spatial_swapped and self.fusion_type != "ATTNFusion":
+            raise NotImplementedError(
+                f"spatial_swapped fusion only supports ATTNFusion, "
+                f"got {self.fusion_type}")
         cls = _FUSIONS[self.fusion_type]
         kw = dict(
             ain_chan=self.audio_bn_chan, vin_chan=self.video_bn_chan,
             kernel_size=self.kernel_size, is2d=self.is2d,
         )
+        if self.spatial_swapped:
+            kw["spatial_swapped"] = True
         if self.fusion_shared:
             self.fusion_module = cls(video_fusion=self.fusion_repeats > 1, **kw)
         else:

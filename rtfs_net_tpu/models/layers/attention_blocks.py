@@ -135,10 +135,15 @@ class MultiHeadSelfAttention2D(nn.Module):
     act_type: Any = "PReLU"
     norm_type: Any = "LayerNormalization4D"
     dim: int = 3
+    # Input (T,F) axes stored transposed (internal "ft" layout, see
+    # AVNet.tf_order): the configured dim is flipped; everything below the
+    # entry transpose (and all params) stays canonical.
+    spatial_swapped: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.dim == 4:
+        dim = ({3: 4, 4: 3}[self.dim] if self.spatial_swapped else self.dim)
+        if dim == 4:
             x = jnp.swapaxes(x, -2, -1)
         B, C, T, F = x.shape
         residual = x
@@ -214,7 +219,7 @@ class MultiHeadSelfAttention2D(nn.Module):
         )(out, train)
 
         out = out + residual
-        if self.dim == 4:
+        if dim == 4:
             out = jnp.swapaxes(out, -2, -1)
         return out
 

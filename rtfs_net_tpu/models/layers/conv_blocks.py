@@ -58,6 +58,7 @@ class ConvNormAct(nn.Module):
     xavier_init: bool = False
     bias: bool = True
     is2d: bool = False
+    spatial_swapped: bool = False  # input (T,F) axes transposed; see ops.conv.Conv
 
     @property
     def real_out_chan(self) -> int:
@@ -89,6 +90,7 @@ class ConvNormAct(nn.Module):
                 groups=self.groups,
                 use_bias=self.bias,
                 xavier_init=self.xavier_init,
+                spatial_swapped=self.spatial_swapped,
                 name="conv",
             )
             y = conv(y)
@@ -114,6 +116,7 @@ class ConvActNorm(nn.Module):
     xavier_init: bool = False
     bias: bool = True
     is2d: bool = False
+    spatial_swapped: bool = False  # input (T,F) axes transposed; see ops.conv.Conv
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -132,6 +135,7 @@ class ConvActNorm(nn.Module):
                 groups=self.groups,
                 use_bias=self.bias,
                 xavier_init=self.xavier_init,
+                spatial_swapped=self.spatial_swapped,
                 name="conv",
             )(x)
         else:

@@ -31,6 +31,7 @@ class InjectionMultiSum(nn.Module):
     kernel_size: int
     norm_type: Any = "gLN"
     is2d: bool = False
+    spatial_swapped: bool = False  # (T,F) axes transposed; see ops.conv.Conv
 
     @nn.compact
     def __call__(self, local_features, global_features, train: bool = False):
@@ -40,18 +41,19 @@ class InjectionMultiSum(nn.Module):
         local_emb = ConvNormAct(
             self.in_chan, self.in_chan, self.kernel_size, groups=self.in_chan,
             norm_type=self.norm_type, bias=False, is2d=self.is2d,
-            name="local_embedding",
+            spatial_swapped=self.spatial_swapped, name="local_embedding",
         )(local_features, train)
 
         g_embed = ConvNormAct(
             self.in_chan, self.in_chan, self.kernel_size, groups=self.in_chan,
             norm_type=self.norm_type, bias=False, is2d=self.is2d,
-            name="global_embedding",
+            spatial_swapped=self.spatial_swapped, name="global_embedding",
         )
         g_gate = ConvNormAct(
             self.in_chan, self.in_chan, self.kernel_size, groups=self.in_chan,
             norm_type=self.norm_type, act_type="Sigmoid", bias=False,
-            is2d=self.is2d, name="global_gate",
+            is2d=self.is2d, spatial_swapped=self.spatial_swapped,
+            name="global_gate",
         )
 
         if int(np.prod(new_shape)) > int(np.prod(old_shape)):
@@ -158,11 +160,26 @@ class ATTNFusionCell(nn.Module):
     in_chan_b: int
     kernel_size: int = 1
     is2d: bool = False
+    # tensor_a's (T,F) axes stored transposed (internal "ft" layout): its
+    # time axis is -1 and video broadcasts over F at axis -2. Only the
+    # 4D-a/3D-b leg supports this — the 3D-a/4D-b leg is dead in every
+    # buildable config (the reference crashes on it; see
+    # tests/test_fusion_strategy_parity).
+    spatial_swapped: bool = False
 
     @nn.compact
     def __call__(self, tensor_a, tensor_b, train: bool = False):
+        swapped = self.spatial_swapped and tensor_a.ndim == 4
+        if self.spatial_swapped and tensor_b.ndim == 4:
+            raise NotImplementedError(
+                "spatial_swapped ATTNFusionCell with a 4D modality-b")
         batch_size = tensor_a.shape[0]
-        time_steps = tensor_a.shape[2]
+        time_steps = tensor_a.shape[3 if swapped else 2]
+
+        def bcast_time(t):
+            # unsqueeze the video-derived (B, C, T) stream so it broadcasts
+            # over the frequency axis of a
+            return t[:, :, None, :] if swapped else t[..., None]
 
         b_resized = ConvNormAct(
             self.in_chan_b, self.in_chan_a, 1, groups=self.in_chan_a,
@@ -170,18 +187,20 @@ class ATTNFusionCell(nn.Module):
         )(tensor_b, train)
         b_transformed = interpolate_nearest(b_resized, (time_steps,))
         if self.is2d:
-            b_transformed = b_transformed[..., None]
+            b_transformed = bcast_time(b_transformed)
 
         k1 = ConvNormAct(
             self.in_chan_a, self.in_chan_a, 1, groups=self.in_chan_a,
             norm_type="BatchNorm2d" if self.is2d else "BatchNorm1d",
-            act_type="ReLU", bias=False, is2d=self.is2d, name="key_embed",
+            act_type="ReLU", bias=False, is2d=self.is2d,
+            spatial_swapped=self.spatial_swapped, name="key_embed",
         )(tensor_a, train) * b_transformed
 
         v = ConvNormAct(
             self.in_chan_a, self.in_chan_a, 1, groups=self.in_chan_a,
             norm_type="BatchNorm2d" if self.is2d else "BatchNorm1d",
-            bias=False, is2d=self.is2d, name="value_embed",
+            bias=False, is2d=self.is2d,
+            spatial_swapped=self.spatial_swapped, name="value_embed",
         )(tensor_a, train)
 
         att = ConvNormAct(
@@ -192,7 +211,7 @@ class ATTNFusionCell(nn.Module):
         att = att.mean(axis=2).reshape(batch_size, self.in_chan_a, -1)
         att = interpolate_nearest(jax.nn.softmax(att, axis=-1), (time_steps,))
         if self.is2d:
-            att = att[..., None]
+            att = bcast_time(att)
         k2 = att * v
 
         return k1 + k2

@@ -78,6 +78,11 @@ class DualPathRNN(nn.Module):
     act_type: Any = "Tanh"
     bidirectional: bool = True
     apply_ffn: bool = False
+    # Input (T,F) axes stored transposed (the internal "ft" layout, see
+    # AVNet.tf_order): the configured dim is flipped so the recurrence
+    # still runs along the configured logical axis. Params are orientation
+    # independent (everything below the entry transpose is canonical).
+    spatial_swapped: bool = False
     # Scan-unroll for the recurrence when NOT training: unrolling the
     # elementwise recurrence 8 steps/iteration wins ~13% full-model serving
     # throughput, while differentiating the unrolled loop regresses the
@@ -86,7 +91,8 @@ class DualPathRNN(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if self.dim == 4:
+        dim = ({3: 4, 4: 3}[self.dim] if self.spatial_swapped else self.dim)
+        if dim == 4:
             x = jnp.swapaxes(x, -2, -1)
         B, C, old_T, old_F = x.shape
         k, s = self.kernel_size, self.stride
@@ -135,7 +141,7 @@ class DualPathRNN(nn.Module):
         y = y.reshape(B, new_F, C, new_T).transpose(0, 2, 3, 1)
         y = y + residual
         y = y[..., :old_T, :old_F]
-        if self.dim == 4:
+        if dim == 4:
             y = jnp.swapaxes(y, -2, -1)
         return y
 
@@ -199,17 +205,19 @@ class BiLSTM2D(nn.Module):
     act_type: Any = "PReLU"
     norm_type: Any = "gLN"
     bidirectional: bool = True
+    spatial_swapped: bool = False  # flips the configured dim; see DualPathRNN
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dim = ({3: 4, 4: 3}[self.dim] if self.spatial_swapped else self.dim)
         num_dir = 2 if self.bidirectional else 1
         residual = x
         norm = make_norm(self.norm_type, self.in_chan, name="norm")
         y = apply_norm(norm, x, train)
 
         if self.bidirectional:
-            y = jnp.concatenate([y, jnp.flip(y, self.dim - 1)], axis=1)
-        if self.dim == 3:
+            y = jnp.concatenate([y, jnp.flip(y, dim - 1)], axis=1)
+        if dim == 3:
             y = jnp.swapaxes(y, -1, -2)
 
         bs = y.shape[0]
@@ -246,7 +254,7 @@ class BiLSTM2D(nn.Module):
         y = apply_norm(pnorm, y, train)
         y = ConvActNorm(hd, self.in_chan, 1, is2d=True, name="proj_out")(y, train)
         y = y[..., :old_w, :old_h]
-        if self.dim == 3:
+        if dim == 3:
             y = jnp.swapaxes(y, -1, -2)
         return y + residual
 

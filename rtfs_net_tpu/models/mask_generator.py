@@ -55,6 +55,9 @@ class MaskGenerator(nn.Module):
     dw_gate: bool = False
     direct: bool = False
     is2d: bool = False
+    # inputs arrive as (B, C, F, T) (internal "ft" layout): everything here
+    # is channel-wise / elementwise, only the convs need the kernel swap
+    spatial_swapped: bool = False
 
     @nn.compact
     def __call__(self, refined, emb, train: bool = False):
@@ -67,7 +70,8 @@ class MaskGenerator(nn.Module):
         masks = ConvNormAct(
             in_chan=self.bottleneck_chan, out_chan=mask_output_chan,
             kernel_size=self.kernel_size, act_type=self.mask_act,
-            is2d=self.is2d, name="mask_conv",
+            is2d=self.is2d, spatial_swapped=self.spatial_swapped,
+            name="mask_conv",
         )(masks, train)
 
         if self.output_gate:
@@ -104,6 +108,7 @@ class MaskGenerator2Chan(nn.Module):
     dw_gate: bool = False
     direct: bool = False
     is2d: bool = True
+    spatial_swapped: bool = False  # see MaskGenerator
 
     @nn.compact
     def __call__(self, refined, emb, train: bool = False):
@@ -115,7 +120,7 @@ class MaskGenerator2Chan(nn.Module):
                 in_chan=self.bottleneck_chan, out_chan=mask_output_chan,
                 kernel_size=self.kernel_size, ndim=2, stride=self.stride,
                 padding=(self.kernel_size - 1) // 2, use_bias=self.bias,
-                name="deconv",
+                spatial_swapped=self.spatial_swapped, name="deconv",
             )(y)
             return activations.get(self.mask_act)()(y)
 

@@ -33,6 +33,10 @@ class RefinementModule(nn.Module):
     # (compile time / executable size constant in `repeats`); numerics
     # are identical to unrolling — disable only for A/B debugging
     scan_shared_repeats: bool = True
+    # the audio stream's (T,F) axes are stored transposed (internal "ft"
+    # layout; see AVNet.tf_order) — threaded to the 2D audio separator and
+    # the cross-modal fusion; the 1D video net is unaffected
+    spatial_swapped: bool = False
 
     def setup(self):
         self.fusion_repeats = self.video_params.get("repeats", 0)
@@ -49,7 +53,11 @@ class RefinementModule(nn.Module):
         if audio_cls is separators._IdentitySeparator:
             self.audio_net = audio_cls()
         else:
-            self.audio_net = audio_cls(**_filter(audio_cls, sep_kwargs(self.audio_params, self.audio_bn_chan)))
+            akw = _filter(audio_cls, sep_kwargs(self.audio_params, self.audio_bn_chan))
+            if self.spatial_swapped:
+                akw["spatial_swapped"] = True  # field existence guaranteed
+                # by AVNet's tf_order eligibility check
+            self.audio_net = audio_cls(**akw)
         if video_cls is separators._IdentitySeparator:
             self.video_net = video_cls()
         else:
@@ -73,6 +81,8 @@ class RefinementModule(nn.Module):
         self._audio_has_batchnorm = has_bn(self.audio_params)
 
         fkw = {k: v for k, v in self.fusion_params.items()}
+        if self.spatial_swapped:
+            fkw["spatial_swapped"] = True
         self.crossmodal_fusion = MultiModalFusion(
             audio_bn_chan=self.audio_bn_chan,
             video_bn_chan=self.video_bn_chan,

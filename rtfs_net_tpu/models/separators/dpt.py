@@ -14,6 +14,7 @@ class DPTNetBlock(nn.Module):
     hid_chan: int
     layers: Dict[str, dict] = None
     is2d: bool = False
+    spatial_swapped: bool = False  # see TDANetBlock
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -27,8 +28,16 @@ class DPTNetBlock(nn.Module):
             is2d=self.is2d, name="projection",
         )(residual, train)
         for li, (lname, lconf) in enumerate((self.layers or {}).items()):
+            extra = {}
+            if self.spatial_swapped and self.is2d:
+                import dataclasses as _dc
+                cls = __import__("rtfs_net_tpu.models.layers", fromlist=["get"]).get(lconf["layer_type"])
+                if "spatial_swapped" not in {f.name for f in _dc.fields(cls)}:
+                    raise NotImplementedError(
+                        f"layer {lconf['layer_type']} is not spatial_swapped-capable")
+                extra["spatial_swapped"] = True
             mod = build(lconf["layer_type"], in_chan=self.hid_chan,
-                        name=f"globalatt{li}",
+                        name=f"globalatt{li}", **extra,
                         **{k: v for k, v in lconf.items() if k != "layer_type"})
             y = mod(y, train)
         y = ConvNormAct(
@@ -46,11 +55,13 @@ class DPTNet(nn.Module):
     shared: bool = False
     is2d: bool = False
     remat: bool = True  # rematerialize each block in backward (saves ~NxHBM)
+    spatial_swapped: bool = False  # see TDANetBlock
 
     def setup(self):
         if self.in_chan > 0:
             kw = dict(in_chan=self.in_chan, hid_chan=self.hid_chan,
-                      layers=self.layers, is2d=self.is2d)
+                      layers=self.layers, is2d=self.is2d,
+                      spatial_swapped=self.spatial_swapped)
             cls = (nn.remat(DPTNetBlock, static_argnums=(2,))
                    if self.remat else DPTNetBlock)
             if self.shared:

@@ -31,6 +31,11 @@ class TDANetBlock(nn.Module):
     upsampling_depth: int = 4
     layers: Dict[str, dict] = None
     is2d: bool = False
+    # (T,F) axes stored transposed (internal "ft" layout; see
+    # AVNet.tf_order): conv kernels are transposed at apply time and the
+    # dim-parametrized global-attention layers flip their configured dim.
+    # Params stay canonical — checkpoints are layout-independent.
+    spatial_swapped: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,12 +43,12 @@ class TDANetBlock(nn.Module):
         residual = ConvNormAct(
             in_chan=self.in_chan, out_chan=self.in_chan, kernel_size=1,
             groups=self.in_chan, act_type=self.act_type, is2d=self.is2d,
-            name="gateway",
+            spatial_swapped=self.spatial_swapped, name="gateway",
         )(x, train)
         x_enc = ConvNormAct(
             in_chan=self.in_chan, out_chan=self.hid_chan, kernel_size=1,
             norm_type=self.norm_type, act_type=self.act_type, is2d=self.is2d,
-            name="projection",
+            spatial_swapped=self.spatial_swapped, name="projection",
         )(residual, train)
 
         # bottom-up pyramid (stride 1 at level 0)
@@ -51,7 +56,8 @@ class TDANetBlock(nn.Module):
             ConvNormAct(
                 in_chan=self.hid_chan, out_chan=self.hid_chan,
                 kernel_size=self.kernel_size, stride=1, groups=self.hid_chan,
-                norm_type=self.norm_type, is2d=self.is2d, name="down0",
+                norm_type=self.norm_type, is2d=self.is2d,
+                spatial_swapped=self.spatial_swapped, name="down0",
             )(x_enc, train)
         ]
         for i in range(1, depth):
@@ -60,7 +66,8 @@ class TDANetBlock(nn.Module):
                     in_chan=self.hid_chan, out_chan=self.hid_chan,
                     kernel_size=self.kernel_size, stride=self.stride,
                     groups=self.hid_chan, norm_type=self.norm_type,
-                    is2d=self.is2d, name=f"down{i}",
+                    is2d=self.is2d, spatial_swapped=self.spatial_swapped,
+                    name=f"down{i}",
                 )(downsampled[-1], train)
             )
 
@@ -71,32 +78,48 @@ class TDANetBlock(nn.Module):
         # config-built global attention stack
         layers = self.layers or {}
         for li, (lname, lconf) in enumerate(layers.items()):
+            extra = {}
+            if self.spatial_swapped and self.is2d:
+                # build() drops kwargs the class doesn't declare — guard so
+                # a non-flippable layer can't silently run unswapped (the
+                # AVNet tf_order eligibility check should prevent this)
+                import dataclasses as _dc
+                cls = __import__("rtfs_net_tpu.models.layers", fromlist=["get"]).get(lconf["layer_type"])
+                if "spatial_swapped" not in {f.name for f in _dc.fields(cls)}:
+                    raise NotImplementedError(
+                        f"layer {lconf['layer_type']} is not spatial_swapped-capable")
+                extra["spatial_swapped"] = True
             mod = build(lconf["layer_type"], in_chan=self.hid_chan,
-                        name=f"globalatt{li}", **{k: v for k, v in lconf.items() if k != "layer_type"})
+                        name=f"globalatt{li}", **extra,
+                        **{k: v for k, v in lconf.items() if k != "layer_type"})
             global_features = mod(global_features, train)
 
         # TF-AR reconstruction: inject global into each scale...
         fused = [
             InjectionMultiSum(
                 in_chan=self.hid_chan, kernel_size=self.kernel_size,
-                norm_type=self.norm_type, is2d=self.is2d, name=f"fuse{i}",
+                norm_type=self.norm_type, is2d=self.is2d,
+                spatial_swapped=self.spatial_swapped, name=f"fuse{i}",
             )(downsampled[i], global_features, train)
             for i in range(depth)
         ]
         # ...then fold scales back coarsest-to-finest
         expanded = InjectionMultiSum(
             in_chan=self.hid_chan, kernel_size=self.kernel_size,
-            norm_type=self.norm_type, is2d=self.is2d, name=f"concat{depth - 2}",
+            norm_type=self.norm_type, is2d=self.is2d,
+            spatial_swapped=self.spatial_swapped, name=f"concat{depth - 2}",
         )(fused[-2], fused[-1], train) + downsampled[-2]
         for i in range(depth - 3, -1, -1):
             expanded = InjectionMultiSum(
                 in_chan=self.hid_chan, kernel_size=self.kernel_size,
-                norm_type=self.norm_type, is2d=self.is2d, name=f"concat{i}",
+                norm_type=self.norm_type, is2d=self.is2d,
+                spatial_swapped=self.spatial_swapped, name=f"concat{i}",
             )(fused[i], expanded, train) + downsampled[i]
 
         out = ConvNormAct(
             in_chan=self.hid_chan, out_chan=self.in_chan, kernel_size=1,
-            is2d=self.is2d, name="residual_conv",
+            is2d=self.is2d, spatial_swapped=self.spatial_swapped,
+            name="residual_conv",
         )(expanded, train) + residual
         return out
 
@@ -118,6 +141,7 @@ class TDANet(nn.Module):
     shared: bool = False
     is2d: bool = False
     remat: bool = True  # rematerialize each block in backward (saves ~NxHBM)
+    spatial_swapped: bool = False  # see TDANetBlock
 
     def setup(self):
         if self.in_chan > 0 and self.hid_chan > 0:
@@ -126,7 +150,7 @@ class TDANet(nn.Module):
                 kernel_size=self.kernel_size, stride=self.stride,
                 norm_type=self.norm_type, act_type=self.act_type,
                 upsampling_depth=self.upsampling_depth, layers=self.layers,
-                is2d=self.is2d,
+                is2d=self.is2d, spatial_swapped=self.spatial_swapped,
             )
             cls = (nn.remat(TDANetBlock, static_argnums=(2,))
                    if self.remat else TDANetBlock)

@@ -112,6 +112,12 @@ class Conv(nn.Module):
     use_bias: bool = True
     xavier_init: bool = False
     dtype: jnp.dtype | None = None
+    # The input's two spatial axes are stored transposed relative to the
+    # canonical (T, F) order (the internal "ft" fast layout — see
+    # AVNet.tf_order). Parameters keep the CANONICAL orientation so
+    # checkpoints are layout-independent; the kernel (and the per-axis
+    # stride/dilation/padding specs) are transposed at apply time instead.
+    spatial_swapped: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -125,6 +131,12 @@ class Conv(nn.Module):
         fan_in = (self.in_chan // self.groups) * int(np.prod(kernel))
         w_init = xavier_uniform_init() if self.xavier_init else torch_conv_init(fan_in)
         w = self.param("weight", w_init, wshape)
+
+        if self.spatial_swapped and nd == 2:
+            w = jnp.swapaxes(w, -1, -2)
+            kernel, stride = kernel[::-1], stride[::-1]
+            dilation, pads = dilation[::-1], pads[::-1]
+            wshape = w.shape
 
         # depthwise 1x1 is just a per-channel scale (+bias): lower to
         # elementwise math — grouped 1x1 convs hit slow XLA conv paths on
@@ -199,6 +211,7 @@ class ConvTranspose(nn.Module):
     use_bias: bool = True
     xavier_init: bool = False
     dtype: jnp.dtype | None = None
+    spatial_swapped: bool = False  # see Conv.spatial_swapped
 
     @nn.compact
     def __call__(self, x):
@@ -208,6 +221,10 @@ class ConvTranspose(nn.Module):
         dilation = _to_tuple(self.dilation, nd)
         pad = _to_tuple(self.padding, nd)
         opad = _to_tuple(self.output_padding, nd)
+        swap = self.spatial_swapped and nd == 2
+        if swap:
+            stride, dilation = stride[::-1], dilation[::-1]
+            pad, opad = pad[::-1], opad[::-1]
 
         # torch layout: (I, O/g, *k); fan_in for default init = (O/g) * prod(k)
         wshape = (self.in_chan, self.out_chan // self.groups, *kernel)
@@ -228,6 +245,9 @@ class ConvTranspose(nn.Module):
         wt = jnp.swapaxes(wt, 1, 2)
         wt = wt.reshape((self.out_chan, self.in_chan // g) + kernel)
         wt = jnp.flip(wt, axis=tuple(range(2, 2 + nd)))
+        if swap:
+            wt = jnp.swapaxes(wt, -1, -2)
+            kernel = kernel[::-1]
 
         pads = tuple(
             (d * (k - 1) - p, d * (k - 1) - p + op)

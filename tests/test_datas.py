@@ -143,6 +143,31 @@ def test_loader_process_workers_survive_sigterm(rng, tmp_path):
     dl.close()
 
 
+def test_loader_pool_survives_sigterm_during_bootstrap(rng, tmp_path):
+    """The race the initializer alone can't close: a group-delivered
+    SIGTERM landing while a spawned worker is still bootstrapping (before
+    _worker_init installs SIG_IGN) would kill it with the default
+    disposition. The parent blocks the preemption signals around the
+    spawn (the mask is inherited), so the signal stays pending until the
+    worker's SIG_IGN discards it. Signal immediately after Pool() returns
+    — squarely inside the ~100ms spawn-bootstrap window."""
+    import signal
+
+    d = _make_manifest(tmp_path, rng, n_utts=4)
+    ds = AVSpeechDataset(d, n_src=1, sample_rate=16000, segment=2.0)
+    dl = DataLoader(ds, batch_size=1, shuffle=False, num_workers=2,
+                    worker_type="process")
+    pool = dl._get_pool()
+    workers = list(pool._pool)
+    for proc in workers:
+        os.kill(proc.pid, signal.SIGTERM)
+    out = list(iter(dl))
+    assert len(out) == len(dl)
+    for proc in workers:  # same processes, still alive — no respawn
+        assert proc.is_alive()
+    dl.close()
+
+
 def test_loader_process_workers_match_thread(rng, tmp_path):
     """worker_type='process' (the default for AV datasets — the npz+
     transform path is GIL-bound) returns the same batches as threads, and
