@@ -305,17 +305,35 @@ def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """torch ``F.interpolate(mode="nearest")`` on (B, C, *spatial):
     src_idx = floor(dst_idx * in/out) per dim.
 
-    Lowered to dense 0/1-matrix contractions (exact; static shapes) —
-    gathers along minor axes are a major bandwidth sink on TPU, while
-    these selection matmuls ride the MXU like the pooling path."""
+    Two exact lowerings, chosen per dim at trace time:
+
+    - When the index map collapses to a pure repeat prefix
+      (``floor(dst*in/out) == dst // ceil(out/in)`` — true at the model's
+      ~2x upsamples, e.g. 126->251, 65->129), ``repeat`` + ``slice``:
+      pure data movement, no MXU pass, measured 34.2 -> 28.2 ms at the
+      RTFS-4 B=128 hot shape (scripts/bench_micro_r4.py).
+    - Otherwise a dense 0/1-selection matmul — gathers along minor axes
+      are a major bandwidth sink on TPU, while selection matmuls ride
+      the MXU like the pooling path. ``Precision.HIGHEST`` is pinned:
+      selection is semantically a copy, and the MXU's default bf16-ish
+      operand rounding would perturb f32 values routed through it
+      (measured 1.6e-2 max err on-chip at default precision)."""
     spatial = x.shape[2:]
     size = tuple(int(s) for s in size)
     assert len(size) == len(spatial)
     for d, (ins, outs) in enumerate(zip(spatial, size)):
         if ins == outs:
             continue
+        idx = np.floor(np.arange(outs) * (ins / outs)).astype(np.int64)
+        k = -(-outs // ins)
+        if outs > ins and (idx == np.arange(outs) // k).all():
+            x = lax.slice_in_dim(jnp.repeat(x, k, axis=2 + d), 0, outs,
+                                 axis=2 + d)
+            continue
         m = jnp.asarray(_nearest_matrix(ins, outs), x.dtype)
-        x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0])), -1, 2 + d)
+        x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0]),
+                                       precision=lax.Precision.HIGHEST),
+                         -1, 2 + d)
     return x
 
 

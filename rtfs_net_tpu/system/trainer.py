@@ -237,10 +237,27 @@ class Trainer:
     def export_best(self, state_template: TrainState, model_name: str,
                     model_args: Dict) -> str:
         """Reload the best checkpoint and export best_model.ckpt
-        (reference train.py:151-160)."""
+        (reference train.py:151-160).
+
+        Degrades gracefully when no scored checkpoint exists (e.g. a
+        preemption signal arrived before the first epoch completed):
+        falls back to the 'last' checkpoint (preempt/crash state), and
+        failing that exports the in-memory state — a partial artifact
+        beats crashing after the preemption save already succeeded.
+        """
         from ..models import serialization
 
-        best = self.ckpt.restore(state_template)
+        try:
+            best = self.ckpt.restore(state_template)
+        except FileNotFoundError:
+            try:
+                best, _ = self.ckpt.restore_last(state_template)
+                print("export_best: no scored checkpoint; "
+                      "exporting the 'last' (preempt/crash) state", flush=True)
+            except FileNotFoundError:
+                best = state_template
+                print("export_best: no checkpoints on disk; "
+                      "exporting the in-memory state", flush=True)
         variables = {"params": best.params}
         if best.batch_stats:
             variables["batch_stats"] = best.batch_stats

@@ -118,7 +118,8 @@ def test_adaptive_avg_pool2d(rng):
     np.testing.assert_allclose(np.asarray(got), golden, atol=1e-5)
 
 
-@pytest.mark.parametrize("in_size,out_size", [(64, 125), (13, 50), (65, 129)])
+@pytest.mark.parametrize("in_size,out_size",
+                         [(64, 125), (13, 50), (65, 129), (126, 251)])
 def test_interpolate_nearest_1d(rng, in_size, out_size):
     x = rng.standard_normal((2, 4, in_size)).astype(np.float32)
     golden = F.interpolate(torch.from_numpy(x), size=out_size, mode="nearest").numpy()

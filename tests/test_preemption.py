@@ -101,6 +101,42 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     assert int(done.step) == 3 + 3 * 2  # epochs 1..3, 2 batches each
 
 
+def test_export_best_survives_preemption_before_first_epoch(tmp_path):
+    """A preemption before ANY scored (epoch) checkpoint exists must not
+    crash the train CLI's trailing ``export_best`` — it falls back to the
+    'preempt' state; with no checkpoints at all it exports the in-memory
+    state (reference train.py:151-160 always exports after fit)."""
+    from rtfs_net_tpu.models.serialization import load_model
+
+    exp_dir = str(tmp_path / "exp")
+    system, trainer, state = _make(exp_dir)
+    # SIGTERM while handing out the very first batch: the step runs, the
+    # loop stops at the boundary -> only the 'preempt' ckpt exists
+    train_loader = PreemptingLoader(
+        DataLoader(FakeDataset(16), batch_size=8, shuffle=True),
+        at_epoch=0, at_batch=0)
+    val_loader = DataLoader(FakeDataset(8, seed=1), batch_size=8)
+    final = trainer.fit(state, train_loader, val_loader)
+    assert int(final.step) == 1
+    # no scored checkpoint: the ledger is only written by epoch saves
+    ledger_path = os.path.join(exp_dir, "best_k_models.json")
+    assert not os.path.exists(ledger_path) or not json.load(open(ledger_path))
+
+    path = trainer.export_best(final, "AVNet", TINY_AUDIONET)
+    assert os.path.isfile(path)
+    _, variables, _ = load_model(path)
+    got = jax.tree_util.tree_leaves(jax.device_get(variables["params"]))
+    want = jax.tree_util.tree_leaves(jax.device_get(final.params))
+    for g, w in zip(got, want):
+        np.testing.assert_array_equal(g, w)
+
+    # no checkpoints at all (fit never ran): exports the in-memory state
+    exp_dir2 = str(tmp_path / "exp2")
+    _, trainer2, state2 = _make(exp_dir2)
+    path2 = trainer2.export_best(state2, "AVNet", TINY_AUDIONET)
+    assert os.path.isfile(path2)
+
+
 def test_preempt_during_validation_checkpoints_immediately(tmp_path):
     """A signal landing in the validation sweep must checkpoint within ONE
     val step (training of the epoch is complete), not after the whole
