@@ -358,7 +358,12 @@ def adaptive_avg_pool(x: jnp.ndarray, output_size: Sequence[int]) -> jnp.ndarray
         if ins == outs:
             continue
         m = jnp.asarray(_pool_matrix(ins, outs), x.dtype)
-        x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0])), -1, 2 + d)
+        # HIGHEST for the same reason as interpolate_nearest's selection
+        # matmul: default MXU precision rounds f32 operands to bf16, which
+        # perturbs what is semantically an exact bin average.
+        x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0]),
+                                       precision=lax.Precision.HIGHEST),
+                         -1, 2 + d)
     return x
 
 

@@ -244,6 +244,11 @@ class Trainer:
         falls back to the 'last' checkpoint (preempt/crash state), and
         failing that exports the in-memory state — a partial artifact
         beats crashing after the preemption save already succeeded.
+
+        ``state_template`` must be the LIVE post-fit state (as train.py
+        passes), not an abstract/fresh-init template: the final fallback
+        exports it verbatim, so a fresh-init template would silently
+        ship untrained weights as best_model.ckpt.
         """
         from ..models import serialization
 
