@@ -8,6 +8,7 @@ hard-depends on the pypesq C extension, ``allwrapper.py:12,55``).
 """
 from __future__ import annotations
 
+import os
 import warnings
 
 import numpy as np
@@ -20,7 +21,18 @@ def _resolve():
     global _impl
     if _impl is not None:
         return _impl
+    # RTFS_PESQ_BACKEND pins the dispatch: "native"/"pypesq"/"pesq" skip
+    # the earlier fallbacks, "none" disables PESQ outright (the column
+    # reads NaN). The multichip dryrun sets "none" so a pristine checkout
+    # doesn't spend its wall-clock budget g++-compiling the native
+    # extension just to score throwaway noise utterances.
+    pin = os.environ.get("RTFS_PESQ_BACKEND", "").strip().lower()
+    if pin == "none":
+        _impl = ("none", None)
+        return _impl
     try:
+        if pin not in ("", "native"):
+            raise ImportError(f"backend pinned to {pin!r}")
         from rtfs_net_tpu._native import load_native
 
         nat = load_native()  # builds from native/ on demand if needed
@@ -30,6 +42,8 @@ def _resolve():
     except Exception:
         pass
     try:
+        if pin not in ("", "pypesq"):
+            raise ImportError(f"backend pinned to {pin!r}")
         from pypesq import pesq as pypesq_fn
 
         _impl = ("pypesq", lambda ref, deg, fs: pypesq_fn(ref, deg, fs))
@@ -37,6 +51,8 @@ def _resolve():
     except Exception:
         pass
     try:
+        if pin not in ("", "pesq"):
+            raise ImportError(f"backend pinned to {pin!r}")
         from pesq import pesq as pesq_fn
 
         _impl = ("pesq", lambda ref, deg, fs: pesq_fn(fs, ref, deg, "nb"))
