@@ -167,6 +167,25 @@ class Conv(nn.Module):
                 y = y + b.reshape((1, -1) + (1,) * nd).astype(y.dtype)
             return y.astype(x.dtype)
 
+        # A/B knob: lower ungrouped 1x1 convs as a channel-contraction
+        # einsum instead of conv_general_dilated — XLA's dot and conv
+        # layout assignment differ, and the serving profile shows the big
+        # 1x1 convs (residual_conv 64->256, mask_conv, bottleneck) running
+        # C-minor with full-tensor layout copies around them. Measured
+        # round 5 (v5e, RTFS-4 B=128 bf16 serving): 312.4 utt/s vs the
+        # conv lowering's 335.0 — the dot form is WORSE (stays off).
+        if (os.environ.get("RTFS_CONV1X1_DOT") == "1" and self.groups == 1
+                and all(k == 1 for k in kernel)
+                and all(s == 1 for s in stride)
+                and all(p == (0, 0) for p in pads)):
+            dtype = self.dtype or x.dtype
+            w2 = w.reshape(self.out_chan, self.in_chan).astype(dtype)
+            y = jnp.einsum("bc...,oc->bo...", x.astype(dtype), w2)
+            if self.use_bias:
+                b = self.param("bias", torch_conv_init(fan_in), (self.out_chan,))
+                y = y + b.reshape((1, -1) + (1,) * nd).astype(y.dtype)
+            return y.astype(x.dtype)
+
         dn = lax.conv_dimension_numbers(
             x.shape, wshape, (("NC" + "DHW"[-nd:]), ("OI" + "DHW"[-nd:]), ("NC" + "DHW"[-nd:]))
         )
@@ -305,19 +324,35 @@ def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
     """torch ``F.interpolate(mode="nearest")`` on (B, C, *spatial):
     src_idx = floor(dst_idx * in/out) per dim.
 
-    Two exact lowerings, chosen per dim at trace time:
+    Exact lowerings, chosen per dim at trace time:
 
     - When the index map collapses to a pure repeat prefix
       (``floor(dst*in/out) == dst // ceil(out/in)`` — true at the model's
       ~2x upsamples, e.g. 126->251, 65->129), ``repeat`` + ``slice``:
       pure data movement, no MXU pass, measured 34.2 -> 28.2 ms at the
       RTFS-4 B=128 hot shape (scripts/bench_micro_r4.py).
+    - Strided-slice downsample when ``floor(dst*in/out) == dst*(in//out)``
+      for every dst (e.g. 251->125): one strided slice — a strict subset
+      of the reads the selection matmul would do.
     - Otherwise a dense 0/1-selection matmul — gathers along minor axes
       are a major bandwidth sink on TPU, while selection matmuls ride
       the MXU like the pooling path. ``Precision.HIGHEST`` is pinned:
       selection is semantically a copy, and the MXU's default bf16-ish
       operand rounding would perturb f32 values routed through it
-      (measured 1.6e-2 max err on-chip at default precision)."""
+      (measured 1.6e-2 max err on-chip at default precision).
+
+    Round-5 negative result, recorded so it isn't retried: the remaining
+    "2n+1" upsample maps (125->251, 64->129 from the kernel_size=4
+    pyramid, 50->251 video->audio) profile at ~15% of serving device time
+    as selection matmuls (fuse0/concat0 dots + their layout copies), and
+    the run-length structure admits an exact 2-3-segment
+    concat-of-repeated-slices lowering — but BOTH formulations measured
+    SLOWER end-to-end than the matmul on v5e at B=128 (slice-a-shared-
+    repeat: 317.0 utt/s; concat-of-repeats, applied to all upsamples:
+    328.8; applied only to the non-prefix maps: 325.4; matmul baseline:
+    335.0). Mid-axis concats materialize full passes and break XLA's
+    elementwise fusion with the InjectionMultiSum consumer, costing more
+    than the MXU pass they replace."""
     spatial = x.shape[2:]
     size = tuple(int(s) for s in size)
     assert len(size) == len(spatial)
@@ -325,11 +360,18 @@ def interpolate_nearest(x: jnp.ndarray, size: Sequence[int]) -> jnp.ndarray:
         if ins == outs:
             continue
         idx = np.floor(np.arange(outs) * (ins / outs)).astype(np.int64)
-        k = -(-outs // ins)
-        if outs > ins and (idx == np.arange(outs) // k).all():
-            x = lax.slice_in_dim(jnp.repeat(x, k, axis=2 + d), 0, outs,
-                                 axis=2 + d)
-            continue
+        if outs > ins:
+            k = -(-outs // ins)
+            if (idx == np.arange(outs) // k).all():
+                x = lax.slice_in_dim(jnp.repeat(x, k, axis=2 + d), 0, outs,
+                                     axis=2 + d)
+                continue
+        else:
+            s = ins // outs
+            if (idx == s * np.arange(outs)).all():
+                x = lax.slice_in_dim(x, 0, (outs - 1) * s + 1, stride=s,
+                                     axis=2 + d)
+                continue
         m = jnp.asarray(_nearest_matrix(ins, outs), x.dtype)
         x = jnp.moveaxis(jnp.tensordot(x, m, axes=([2 + d], [0]),
                                        precision=lax.Precision.HIGHEST),

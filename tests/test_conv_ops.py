@@ -119,7 +119,13 @@ def test_adaptive_avg_pool2d(rng):
 
 
 @pytest.mark.parametrize("in_size,out_size",
-                         [(64, 125), (13, 50), (65, 129), (126, 251)])
+                         [(64, 125), (13, 50), (65, 129), (126, 251),
+                          # "2n+1" upsamples (selection matmul — see the
+                          # round-5 negative result in interpolate_nearest)
+                          (125, 251), (64, 129), (50, 251), (32, 251),
+                          # strided-slice downsamples + matmul downsample
+                          (251, 125), (129, 64), (251, 126),
+                          (100, 257), (7, 30), (1, 9)])
 def test_interpolate_nearest_1d(rng, in_size, out_size):
     x = rng.standard_normal((2, 4, in_size)).astype(np.float32)
     golden = F.interpolate(torch.from_numpy(x), size=out_size, mode="nearest").numpy()
