@@ -137,14 +137,19 @@ def _sru_lanes_path(mod, x, window, unroll, ndir, out_size, params):
     Bk = -(-Bp // 128) * 128  # train kernel pads the folded batch to lanes
     if train_step:
         # Measured on-chip (v5e, RTFS-4 full train step, bf16+remat,
-        # scripts/bench_sru_train.py): B=4 51.7 vs scan 45.8 ms/step
-        # (0.89x — the folded batch 4·129=516 pads to 640 lanes, 24%
-        # wasted), B=16 94.1 vs 98.2 (1.04x — padding waste 5%). A ~4%
-        # win only at large per-chip batch doesn't justify flipping the
-        # default; stays opt-in (RTFS_PALLAS_SRU_TRAIN=1). Inference
-        # default stays on (no padding — B·F is lane-aligned at serving
-        # batches, and the win there was 10%).
-        if os.environ.get("RTFS_PALLAS_SRU_TRAIN", "0") != "1":
+        # scripts/bench_sru_train.py). Round 3: B=4 51.7 vs scan 45.8
+        # ms/step (0.89x — the folded batch 4·129=516 pads to 640 lanes,
+        # 24% wasted), B=16 94.1 vs 98.2 (1.04x) — kept opt-in. Round 5
+        # re-measure under the r4 baseline (fused MHSA2D einsums, ft
+        # layout): B=4 42.1 vs 42.3 (1.00x), B=16 87.2 vs 91.1 (1.05x) —
+        # the kernel no longer loses anywhere measured, so it is now the
+        # DEFAULT when lane-padding waste is <=25% (B=1/2-style smoke
+        # shapes pad 2x and stay on scan). RTFS_PALLAS_SRU_TRAIN=1 forces
+        # it on regardless of waste; =0 forces scan.
+        env = os.environ.get("RTFS_PALLAS_SRU_TRAIN")
+        if env == "0":
+            return None
+        if env != "1" and (Bk - Bp) * 4 > Bp:
             return None
         ok = sru_train_supported(L, Bk, H, x.dtype.itemsize)
     else:

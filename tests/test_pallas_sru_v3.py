@@ -32,22 +32,45 @@ def test_stack_parity_vs_scan(num_layers, bidirectional, T, rng, monkeypatch):
                                atol=1e-5, rtol=1e-5)
 
 
-def test_training_step_keeps_scan(rng, monkeypatch):
-    """unroll==1 (the differentiated step kind) must NOT route to the
-    kernel — it has no gradient rule."""
-    Bp, C, T, k_w, H = 8, 16, 19, 8, 8
+def test_training_step_default_dispatch(rng, monkeypatch):
+    """Round-5 default for the differentiated step kind (unroll==1):
+    the custom_vjp train kernel runs when the folded batch's 128-lane
+    padding waste is <=25%, scan otherwise (tiny smoke batches pad ~2x).
+    RTFS_PALLAS_SRU_TRAIN=0/1 overrides both ways."""
+    import rtfs_net_tpu.ops.pallas.sru_train as st
+
+    calls = []
+    real = st.sru_direction_train
+    monkeypatch.setattr(st, "sru_direction_train",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
+    C, T, k_w, H = 16, 19, 8, 8
     m = SRU(input_size=C * k_w, hidden_size=H, num_layers=1,
             bidirectional=True)
-    x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
-    p = m.init(jax.random.PRNGKey(0), x, window=(k_w, 1))
-    monkeypatch.setenv("RTFS_PALLAS_SRU_INTERPRET", "1")
 
-    def loss(p):
-        return jnp.sum(jnp.square(m.apply(p, x, window=(k_w, 1), unroll=1)))
+    def grads(Bp):
+        x = jnp.asarray(rng.standard_normal((Bp, C, T)), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), x, window=(k_w, 1))
 
-    g = jax.grad(loss)(p)  # would raise on the kernel path
-    flat = jax.tree_util.tree_leaves(g)
-    assert all(bool(jnp.isfinite(a).all()) for a in flat)
+        def loss(p):
+            return jnp.sum(jnp.square(m.apply(p, x, window=(k_w, 1),
+                                              unroll=1)))
+
+        return jax.grad(loss)(p)
+
+    g = grads(8)  # waste (128-8)/8 >> 25% -> scan
+    assert not calls
+    assert all(bool(jnp.isfinite(a).all())
+               for a in jax.tree_util.tree_leaves(g))
+    grads(128)  # lane-aligned -> kernel by default
+    assert calls
+    calls.clear()
+    monkeypatch.setenv("RTFS_PALLAS_SRU_TRAIN", "0")
+    grads(128)  # forced off
+    assert not calls
+    monkeypatch.setenv("RTFS_PALLAS_SRU_TRAIN", "1")
+    grads(8)  # forced on regardless of waste
+    assert calls
 
 
 def test_supported_gate():
