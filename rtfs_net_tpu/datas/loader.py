@@ -142,10 +142,27 @@ class DataLoader:
         self.epoch = epoch
 
     def close(self):
-        if self._pool is not None:
-            self._pool.terminate()
-            self._pool.join()
-            self._pool = None
+        if self._pool is None:
+            return
+        pool, self._pool = self._pool, None
+        # Workers SIG_IGN SIGTERM by design (group-delivered preemption
+        # signals must not kill them mid-epoch — see _worker_init), which
+        # removes Pool.terminate()'s backstop: CPython's _terminate_pool
+        # drains the inqueue (_help_stuff_finish) racing the task
+        # handler's per-worker None sentinels, and when a sentinel gets
+        # eaten the un-SIGTERM-able worker stays blocked in inqueue.get()
+        # while terminate()'s internal join waits on it forever (observed
+        # as a full-suite deadlock: parent in do_wait, worker futex-wait).
+        # The workers are stateless slaves — decoded batches live in the
+        # parent — so SIGKILL them first; terminate() then only reaps
+        # handler threads and already-dead processes.
+        for p in list(getattr(pool, "_pool", [])):
+            try:
+                p.kill()
+            except Exception:
+                pass
+        pool.terminate()
+        pool.join()
 
     def __del__(self):
         try:

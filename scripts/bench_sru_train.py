@@ -1,8 +1,9 @@
 #!/usr/bin/env python
 """Benchmark the differentiable Pallas SRU backend vs the scan backward.
 
-The train-step kernel (`ops/pallas/sru_train.py`) is opt-in via
-RTFS_PALLAS_SRU_TRAIN=1 until proven on-chip; this script times the full
+The train-step kernel (`ops/pallas/sru_train.py`) is the default for
+lane-aligned folded batches since round 5 (see ops/rnn.py dispatch;
+RTFS_PALLAS_SRU_TRAIN=0/1 overrides); this script times the full
 RTFS-4 train step (fwd + PIT-SNR + grads + AdamW, bf16 mixed precision,
 per-block remat) with both backends at the reference per-GPU batch (4)
 and the measured per-chip sweet spot (16).

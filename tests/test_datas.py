@@ -216,3 +216,51 @@ def test_loader_batches_and_sharding(rng, tmp_path):
     dl0 = DataLoader(ds, batch_size=2, shuffle=False, shard_index=0, num_shards=2)
     dl1 = DataLoader(ds, batch_size=2, shuffle=False, shard_index=1, num_shards=2)
     assert len(dl0) == 2 and len(dl1) == 2
+
+
+class _SlowDataset:
+    """Each item sleeps far longer than the test budget — used to pin
+    close() latency with workers mid-task. Module-level so spawn can
+    unpickle it in the worker (the loader pickles the dataset by value,
+    the class by reference)."""
+
+    audio_only = False
+
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, i):
+        import time
+
+        time.sleep(300)
+        return (np.zeros(4, np.float32),)
+
+
+def test_loader_close_kills_busy_workers():
+    """Regression (round-5 full-suite deadlock): pool workers ignore
+    SIGTERM by design, so Pool.terminate()'s SIGTERM backstop is void —
+    a worker mid-task (or one whose per-worker None sentinel was eaten
+    by CPython's _help_stuff_finish inqueue drain) left terminate()'s
+    internal join waiting forever. close() must SIGKILL the stateless
+    workers first and return promptly."""
+    import threading
+    import time
+
+    dl = DataLoader(_SlowDataset(), batch_size=2, shuffle=False,
+                    num_workers=2, worker_type="process", prefetch=1)
+    it = iter(dl)
+    # drive the generator from a side thread: the first next() spawns the
+    # pool and blocks on the (forever-sleeping) first batch
+    t = threading.Thread(target=lambda: next(it, None), daemon=True)
+    t.start()
+    deadline = time.time() + 60
+    while dl._pool is None and time.time() < deadline:
+        time.sleep(0.1)
+    assert dl._pool is not None, "pool never spawned"
+    while time.time() < deadline:
+        if all(p.is_alive() for p in dl._pool._pool):
+            break
+        time.sleep(0.1)
+    t0 = time.time()
+    dl.close()
+    assert time.time() - t0 < 30, "close() hung on busy SIGTERM-immune workers"
