@@ -7,7 +7,7 @@ inference_ms_per_utt).
 
 Primary metric: 2 s @16 kHz mixture utterances separated per second per
 chip (serving batch 128 — the measured throughput-optimal batch on v5e;
-round-3 figure 307.7 utt/s / 3.25 ms/utt — bf16 serving precision, 43 dB
+round-5 figure 337.3 utt/s / 2.965 ms/utt — bf16 serving precision, 43 dB
 output agreement with f32, full forward incl. STFT/iSTFT, lip embedding
 precomputed, matching the paper's inference-latency measurement setup).
 vs_baseline is the speedup over the reference's published per-utterance

@@ -147,22 +147,43 @@ class DataLoader:
         pool, self._pool = self._pool, None
         # Workers SIG_IGN SIGTERM by design (group-delivered preemption
         # signals must not kill them mid-epoch — see _worker_init), which
-        # removes Pool.terminate()'s backstop: CPython's _terminate_pool
-        # drains the inqueue (_help_stuff_finish) racing the task
-        # handler's per-worker None sentinels, and when a sentinel gets
-        # eaten the un-SIGTERM-able worker stays blocked in inqueue.get()
-        # while terminate()'s internal join waits on it forever (observed
-        # as a full-suite deadlock: parent in do_wait, worker futex-wait).
-        # The workers are stateless slaves — decoded batches live in the
-        # parent — so SIGKILL them first; terminate() then only reaps
-        # handler threads and already-dead processes.
-        for p in list(getattr(pool, "_pool", [])):
+        # removes Pool.terminate()'s backstop: normally workers exit via
+        # the task handler's per-worker None sentinels, but a worker
+        # that is mid-task at terminate time (or whose sentinel got eaten
+        # by CPython's _help_stuff_finish inqueue drain) survives the
+        # ignored SIGTERM and terminate()'s internal join waits on it
+        # forever (observed as a full-suite deadlock: parent in do_wait,
+        # worker in futex_wait for 1h+). So: run terminate() in a daemon
+        # thread, and SIGKILL surviving workers only if it hasn't
+        # finished within the grace window. SIGKILL must NOT come first:
+        # a worker killed while blocked in inqueue.get() dies HOLDING the
+        # queue's reader lock (a shared POSIX semaphore), and
+        # _help_stuff_finish then deadlocks acquiring it — the sentinel
+        # path releases locks cleanly, so it gets the first chance.
+        # Workers are stateless slaves (decoded batches live in the
+        # parent), so killing survivors loses nothing.
+        procs = list(getattr(pool, "_pool", []))
+        done = threading.Event()
+
+        def _shutdown():
             try:
-                p.kill()
-            except Exception:
-                pass
-        pool.terminate()
-        pool.join()
+                pool.terminate()
+            finally:
+                done.set()
+
+        t = threading.Thread(target=_shutdown, daemon=True)
+        t.start()
+        if not done.wait(5.0):
+            for p in procs:
+                try:
+                    if p.is_alive():
+                        p.kill()
+                except Exception:
+                    pass
+            # post-kill the joins return promptly; if something is still
+            # wedged we abandon the daemon shutdown thread rather than
+            # hang the caller
+            done.wait(10.0)
 
     def __del__(self):
         try:

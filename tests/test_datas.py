@@ -241,8 +241,11 @@ def test_loader_close_kills_busy_workers():
     SIGTERM by design, so Pool.terminate()'s SIGTERM backstop is void —
     a worker mid-task (or one whose per-worker None sentinel was eaten
     by CPython's _help_stuff_finish inqueue drain) left terminate()'s
-    internal join waiting forever. close() must SIGKILL the stateless
-    workers first and return promptly."""
+    internal join waiting forever. close() must SIGKILL surviving
+    workers after a bounded grace window (NOT before terminate: a worker
+    killed inside inqueue.get() dies holding the queue's reader
+    semaphore and deadlocks _help_stuff_finish instead) and return
+    promptly."""
     import threading
     import time
 
